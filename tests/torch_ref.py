@@ -1,0 +1,152 @@
+"""Helpers to build the PyTorch reference modules for golden-parity tests.
+
+The reference snapshot at /root/reference is treated as an oracle: we
+instantiate its `modules/` layer (pure torch + einops + scipy — its `model/`
+layer needs audiotools, which is unavailable), pull the *fused* weights out,
+and load them into the JAX modules. Numerical agreement then validates the
+entire padding / weight-norm / STFT-basis semantics of the TPU build.
+"""
+
+import sys
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    try:
+        import torch  # noqa: F401
+    except Exception:
+        return False
+    import os
+
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_modules():
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import modules as ref_modules  # type: ignore
+
+    return ref_modules
+
+
+def fused_weight(conv) -> np.ndarray:
+    """Return the parametrization-fused weight of a torch conv."""
+    import torch
+
+    with torch.no_grad():
+        return conv.weight.detach().cpu().numpy()
+
+
+def set_norm_conv(params: dict, torch_conv, transposed: bool = False) -> None:
+    """Load a torch (possibly weight-normed) conv into NormConv1d params.
+
+    We set v to the fused torch weight and g to its norm, so the recomputed
+    kernel g*v/||v|| equals the torch fused weight exactly.
+    """
+    w = fused_weight(torch_conv)  # torch: (Cout, Cin/g, K) or (Cin, Cout/g, K)
+    if transposed:
+        v = w  # our transposed layout == torch layout
+        axes = (1, 2)
+    else:
+        v = np.transpose(w, (2, 1, 0))  # -> (K, Cin/g, Cout)
+        axes = (0, 1)
+    params["v"] = np.ascontiguousarray(v.astype(np.float32))
+    if "g" in params:
+        params["g"] = np.sqrt((v.astype(np.float64) ** 2).sum(axis=axes)).astype(
+            np.float32
+        )
+    if torch_conv.bias is not None and "b" in params:
+        params["b"] = torch_conv.bias.detach().cpu().numpy().astype(np.float32)
+
+
+def set_dense(params: dict, torch_linear) -> None:
+    params["kernel"] = (
+        torch_linear.weight.detach().cpu().numpy().T.astype(np.float32)
+    )
+    if torch_linear.bias is not None:
+        params["bias"] = torch_linear.bias.detach().cpu().numpy().astype(np.float32)
+
+
+def load_resblock(params: dict, ref_block, act_all: bool = False) -> None:
+    """Load a reference SEANetResnetBlock into our SEANetResnetBlock params."""
+    per_k = 4 if act_all else 3
+    n_dil = len(ref_block.block) // per_k
+    for k in range(n_dil):
+        base = k * per_k
+        set_norm_conv(params[f"block_{k}_pw"]["conv"], ref_block.block[base + 1].conv.conv)
+        dw_off = 3 if act_all else 2
+        set_norm_conv(params[f"block_{k}_dw"]["conv"], ref_block.block[base + dw_off].conv.conv)
+    if ref_block.res_scale_param is not None:
+        params["res_scale_param"] = (
+            ref_block.res_scale_param.detach().cpu().numpy().astype(np.float32)
+        )
+    import torch.nn as tnn
+
+    if hasattr(ref_block, "shortcut") and not isinstance(ref_block.shortcut, tnn.Identity):
+        set_norm_conv(params["shortcut"]["conv"], ref_block.shortcut.conv.conv)
+
+
+def load_spec_block(params: dict, ref_spec) -> None:
+    if ref_spec.spec is None:
+        return
+    if ref_spec.learnable:
+        w = ref_spec.spec.weight.detach().cpu().numpy()  # (2F, 1, n_fft)
+        params["stft"]["weight"] = np.transpose(w, (2, 1, 0)).astype(np.float32)
+    set_norm_conv(params["proj"]["conv"], ref_spec.layer.conv.conv)
+    if ref_spec.scale_param is not None:
+        params["scale_param"] = (
+            ref_spec.scale_param.detach().cpu().numpy().astype(np.float32)
+        )
+
+
+def load_encoder(params: dict, ref_enc, n_residual_layers: int, n_scales: int,
+                 act_all: bool = False, l2norm: bool = True) -> None:
+    """Load a reference SEANetEncoder state into our flax param dict."""
+    set_norm_conv(params["conv_pre"]["conv"], ref_enc.conv_pre[1].conv.conv)
+    for i in range(n_scales):
+        for j in range(n_residual_layers):
+            load_resblock(params[f"block_{i}_{j}"], ref_enc.blocks[i][j], act_all)
+        load_spec_block(params[f"spec_block_{i}"], ref_enc.spec_blocks[i])
+        set_norm_conv(params[f"down_{i}_expand"]["conv"], ref_enc.downsample[i][2].conv.conv)
+        set_norm_conv(params[f"down_{i}_dw"]["conv"], ref_enc.downsample[i][3].conv.conv)
+        if hasattr(ref_enc, "film_layers"):
+            for b in range(len(ref_enc.film_layers[i])):
+                set_dense(params[f"film_{i}_{b}"]["gamma"], ref_enc.film_layers[i][b].gamma_layer)
+                set_dense(params[f"film_{i}_{b}"]["beta"], ref_enc.film_layers[i][b].beta_layer)
+    load_spec_block(params["spec_post"], ref_enc.spec_post)
+    set_norm_conv(params["post_dw"]["conv"], ref_enc.conv_post[1].conv.conv)
+    set_norm_conv(params["post_proj"]["conv"]["conv"], ref_enc.conv_post[2].conv.conv)
+    if ref_enc.conv_post[2].conv.conv.bias is not None and "b" in params["post_proj"]:
+        params["post_proj"]["b"] = (
+            ref_enc.conv_post[2].conv.conv.bias.detach().cpu().numpy().astype(np.float32)
+        )
+    # message MLP
+    if hasattr(ref_enc, "msg_embedding"):
+        set_dense(params["msg_in"], ref_enc.msg_embedding[0])
+        hidden_idx = 0
+        for layer in list(ref_enc.msg_embedding)[1:]:
+            import torch.nn as tnn
+
+            if isinstance(layer, tnn.Linear):
+                set_dense(params[f"msg_hidden_{hidden_idx}"], layer)
+                hidden_idx += 1
+
+
+def load_decoder(params: dict, ref_dec, n_residual_layers: int, n_scales: int,
+                 act_all: bool = False) -> None:
+    model = ref_dec.model
+    set_norm_conv(params["conv_in"]["conv"], model[0].conv.conv)
+    set_norm_conv(params["conv_in_dw"]["conv"], model[1].conv.conv)
+    idx = 2
+    for i in range(n_scales):
+        # entries: scale, act, convtr, conv1x1, res blocks...
+        set_norm_conv(params[f"up_{i}_dw"]["convtr"], model[idx + 2].convtr.convtr,
+                      transposed=True)
+        set_norm_conv(params[f"up_{i}_proj"]["conv"], model[idx + 3].conv.conv)
+        for j in range(n_residual_layers):
+            load_resblock(params[f"block_{i}_{j}"], model[idx + 4 + j], act_all)
+        idx += 4 + n_residual_layers
+    set_norm_conv(params["conv_out"]["conv"], model[idx + 2].conv.conv)

@@ -1,0 +1,538 @@
+"""Smart-padded 1-D convolutions with parametrized normalization, TPU-first.
+
+Re-implements the semantics of the reference conv stack
+(reference modules/conv.py) as Flax modules operating in **NWC layout**
+(`[batch, time, channels]`), so the channel dimension maps onto TPU lanes
+and XLA tiles the convs onto the MXU.
+
+Key semantics reproduced exactly (these determine bit-level parity of the
+whole encoder/decoder):
+
+- ``padding_total = (kernel_size - 1) * dilation - (stride - 1)``
+  (reference modules/conv.py:732)
+- extra right-padding so the last conv window is complete
+  (reference modules/conv.py:160-196); causal convs put all fixed padding on
+  the left (reference modules/conv.py:739-745).
+- transposed convs trim ``kernel_size - stride`` of output padding, causal
+  variants trim from the right per ``trim_right_ratio``
+  (reference modules/conv.py:849-873).
+- weight normalization ``w = g * v / ||v||`` with the norm over all axes
+  except the output-channel axis (torch ``parametrizations.weight_norm``
+  with dim=0), and weight standardization
+  ``w = g * scale * (v - mean) / sqrt(var * fan_in + eps)``
+  (reference modules/weight_standardization.py:108-143).
+
+All shape arithmetic happens at trace time (Python ints), so every module
+jit-compiles to static-shape XLA programs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# MXU precision for all convolutions. HIGHEST keeps f32 accumulation for
+# numerical parity with the f32 reference; the perf pass can flip this to
+# DEFAULT (bf16 passes) globally after validating BER impact.
+_CONV_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_conv_precision(p) -> None:
+    """Set global conv precision ('highest'|'default'|jax.lax.Precision)."""
+    global _CONV_PRECISION
+    if isinstance(p, str):
+        p = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[p.lower()]
+    _CONV_PRECISION = p
+
+
+def conv_precision():
+    return _CONV_PRECISION
+
+
+CONV_NORMALIZATIONS = frozenset(
+    [
+        "none",
+        "weight_norm",
+        "spectral_norm",
+        "weight_standardization",
+        "time_layer_norm",
+        "layer_norm",
+        "time_group_norm",
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Padding helpers (pure functions of static shapes)
+# ---------------------------------------------------------------------------
+
+
+def get_extra_padding_for_conv1d(
+    length: int, kernel_size: int, stride: int, padding_total: int = 0
+) -> int:
+    """Extra end padding so conv sees complete windows.
+
+    Mirrors reference modules/conv.py:160-196 exactly — note the reference
+    intentionally uses the *raw* kernel size (not dilation-expanded) here.
+    """
+    if kernel_size <= 0 or stride <= 0:
+        raise ValueError(
+            f"kernel_size and stride must be positive, got {kernel_size}, {stride}"
+        )
+    n_frames = (length - kernel_size + padding_total) / stride + 1
+    ideal_length = (math.ceil(n_frames) - 1) * stride + (kernel_size - padding_total)
+    return max(0, ideal_length - length)
+
+
+def pad1d(
+    x: jnp.ndarray,
+    paddings: Tuple[int, int],
+    mode: str = "constant",
+    value: float = 0.0,
+    axis: int = 1,
+) -> jnp.ndarray:
+    """1-D padding along ``axis`` with the reference's small-input reflect fix.
+
+    Reference modules/conv.py:252-313: when reflect padding is requested on
+    an input shorter than the pad amount, the signal is temporarily
+    zero-extended so the reflection is defined, then the extension removed.
+    """
+    padding_left, padding_right = paddings
+    if padding_left < 0 or padding_right < 0:
+        raise ValueError(f"negative padding: {paddings}")
+    ndim = x.ndim
+    pad_width = [(0, 0)] * ndim
+
+    if mode == "reflect":
+        length = x.shape[axis]
+        max_pad = max(padding_left, padding_right)
+        extra_pad = 0
+        if length <= max_pad:
+            extra_pad = max_pad - length + 1
+            ext = list(pad_width)
+            ext[axis] = (0, extra_pad)
+            x = jnp.pad(x, ext)
+        pad_width[axis] = (padding_left, padding_right)
+        out = jnp.pad(x, pad_width, mode="reflect")
+        if extra_pad > 0:
+            out = jax.lax.slice_in_dim(out, 0, out.shape[axis] - extra_pad, axis=axis)
+        return out
+
+    pad_width[axis] = (padding_left, padding_right)
+    if mode == "constant":
+        return jnp.pad(x, pad_width, mode="constant", constant_values=value)
+    if mode == "replicate":
+        return jnp.pad(x, pad_width, mode="edge")
+    if mode == "circular":
+        return jnp.pad(x, pad_width, mode="wrap")
+    raise ValueError(f"unknown pad mode: {mode}")
+
+
+def unpad1d(x: jnp.ndarray, paddings: Tuple[int, int], axis: int = 1) -> jnp.ndarray:
+    """Remove padding along ``axis`` (reference modules/conv.py:316-359)."""
+    padding_left, padding_right = paddings
+    if padding_left < 0 or padding_right < 0:
+        raise ValueError(f"negative padding: {paddings}")
+    if padding_left + padding_right > x.shape[axis]:
+        raise ValueError("padding exceeds tensor length")
+    return jax.lax.slice_in_dim(
+        x, padding_left, x.shape[axis] - padding_right, axis=axis
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight parametrizations
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_normal_std(fan_in: int, nonlinearity: str) -> float:
+    gain = math.sqrt(2.0) if nonlinearity == "relu" else 1.0
+    return gain / math.sqrt(max(fan_in, 1))
+
+
+class NormConv1d(nn.Module):
+    """Conv1d with pluggable weight parametrization, NWC layout.
+
+    Parameter layout: ``v`` has shape ``(K, Cin // groups, Cout)`` (JAX WIO);
+    weight-norm ``g`` has shape ``(Cout,)`` and normalizes over (K, Cin//g),
+    matching torch weight_norm(dim=0) on a (Cout, Cin//g, K) kernel.
+
+    Reference: modules/conv.py:366-434.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    norm: str = "none"
+    norm_kwargs: Dict[str, Any] = None
+    nonlinearity: str = "linear"
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.norm not in CONV_NORMALIZATIONS:
+            raise ValueError(f"invalid norm: {self.norm}")
+        in_features = x.shape[-1]
+        if in_features % self.groups or self.features % self.groups:
+            raise ValueError("channels must be divisible by groups")
+        kshape = (self.kernel_size, in_features // self.groups, self.features)
+        fan_in = kshape[0] * kshape[1]
+        std = _kaiming_normal_std(fan_in, self.nonlinearity)
+
+        v = self.param(
+            "v", nn.initializers.normal(stddev=std, dtype=self.param_dtype), kshape
+        )
+
+        if self.norm == "weight_norm":
+            # torch weight_norm: w = g * v / ||v||, g initialized to ||v||.
+            def g_init(key, shape, dtype=self.param_dtype):
+                del key
+                return jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1))).astype(
+                    dtype
+                )
+
+            g = self.param("g", g_init, (self.features,))
+            norm_v = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
+            kernel = v * (g[None, None, :] / norm_v)
+        elif self.norm == "weight_standardization":
+            # reference modules/weight_standardization.py:108-143
+            eps = (self.norm_kwargs or {}).get("eps", 1e-7)
+            g = self.param("g", nn.initializers.ones, (1, 1, self.features))
+            mean = jnp.mean(v, axis=(0, 1), keepdims=True)
+            var = jnp.var(v, axis=(0, 1), keepdims=True)
+            kernel = (v - mean) * jax.lax.rsqrt(
+                jnp.maximum(var * float(fan_in), eps)
+            )
+            kernel = g * kernel
+        elif self.norm in ("none", "layer_norm", "time_group_norm"):
+            kernel = v
+        else:
+            raise NotImplementedError(
+                f"norm '{self.norm}' is not supported in the TPU build "
+                "(the reference config only exercises weight_norm / "
+                "weight_standardization / none)"
+            )
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(self.stride,),
+            padding="VALID",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+            precision=conv_precision(),
+        )
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+
+        if self.norm == "layer_norm":
+            y = ConvLayerNorm(name="norm")(y)
+        elif self.norm == "time_group_norm":
+            y = nn.GroupNorm(num_groups=1, name="norm")(y)
+        return y
+
+
+class NormConvTranspose1d(nn.Module):
+    """ConvTranspose1d with weight parametrization, NWC layout.
+
+    The parameter ``v`` keeps the torch layout ``(Cin, Cout // groups, K)``
+    so weight-norm axes match torch (norm over (Cout//g, K) per *input*
+    channel; ``g`` shape ``(Cin,)``). The forward pass lowers to a regular
+    `conv_general_dilated` with lhs dilation = stride and a flipped,
+    group-wise transposed kernel — the formulation XLA pipelines well on TPU.
+
+    Reference: modules/conv.py:506-576.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    norm: str = "none"
+    norm_kwargs: Dict[str, Any] = None
+    nonlinearity: str = "linear"
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.norm not in CONV_NORMALIZATIONS:
+            raise ValueError(f"invalid norm: {self.norm}")
+        in_features = x.shape[-1]
+        g_count = self.groups
+        if in_features % g_count or self.features % g_count:
+            raise ValueError("channels must be divisible by groups")
+        # torch ConvTranspose1d weight: (Cin, Cout // groups, K)
+        kshape = (in_features, self.features // g_count, self.kernel_size)
+        # torch kaiming on transposed conv: fan_in = Cout//g * K (dim-1 fan)
+        fan_in = kshape[1] * kshape[2]
+        std = _kaiming_normal_std(fan_in, self.nonlinearity)
+        v = self.param(
+            "v", nn.initializers.normal(stddev=std, dtype=self.param_dtype), kshape
+        )
+
+        if self.norm == "weight_norm":
+            def g_init(key, shape, dtype=self.param_dtype):
+                del key
+                return jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=(1, 2))).astype(
+                    dtype
+                )
+
+            g = self.param("g", g_init, (in_features,))
+            norm_v = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
+            w = v * (g[:, None, None] / norm_v)
+        elif self.norm == "weight_standardization":
+            eps = (self.norm_kwargs or {}).get("eps", 1e-7)
+            g = self.param("g", nn.initializers.ones, (in_features, 1, 1))
+            mean = jnp.mean(v, axis=(1, 2), keepdims=True)
+            var = jnp.var(v, axis=(1, 2), keepdims=True)
+            w = g * (v - mean) * jax.lax.rsqrt(jnp.maximum(var * float(fan_in), eps))
+        elif self.norm in ("none", "layer_norm", "time_group_norm"):
+            w = v
+        else:
+            raise NotImplementedError(f"norm '{self.norm}' unsupported")
+
+        y = conv_transpose1d(
+            x, w.astype(x.dtype), stride=self.stride, groups=g_count,
+            dilation=self.dilation,
+        )
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        if self.norm == "layer_norm":
+            y = ConvLayerNorm(name="norm")(y)
+        elif self.norm == "time_group_norm":
+            y = nn.GroupNorm(num_groups=1, name="norm")(y)
+        return y
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w_torch: jnp.ndarray,
+    stride: int,
+    groups: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Exact torch-semantics ConvTranspose1d (padding=0) in NWC layout.
+
+    ``w_torch``: (Cin, Cout // groups, K). Output length:
+    ``(L - 1) * stride + dilation * (K - 1) + 1``.
+
+    Implemented as input-dilated correlation with the flipped, group-wise
+    channel-transposed kernel — a single fused XLA conv on TPU.
+    """
+    cin, coutg, k = w_torch.shape
+    cing = cin // groups
+    # (Cin, Cout/g, K) -> (g, Cin/g, Cout/g, K) -> (K, Cin/g, g, Cout/g)
+    w = jnp.flip(w_torch, axis=-1)
+    w = w.reshape(groups, cing, coutg, k)
+    w = jnp.transpose(w, (3, 1, 0, 2)).reshape(k, cing, groups * coutg)
+    k_eff = dilation * (k - 1) + 1
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(k_eff - 1, k_eff - 1)],
+        lhs_dilation=(stride,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        precision=conv_precision(),
+    )
+
+
+class ConvLayerNorm(nn.Module):
+    """LayerNorm over channels for conv features (reference modules/norm.py)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, T, C] — normalize over C (torch LayerNorm(C) after the
+        # einops rearrange 'b c t -> b t c' in the reference).
+        return nn.LayerNorm(epsilon=self.eps)(x)
+
+
+# ---------------------------------------------------------------------------
+# Smart convolution layers
+# ---------------------------------------------------------------------------
+
+
+class SConv1d(nn.Module):
+    """Conv1d with automatic asymmetric/causal padding (reference conv.py:651).
+
+    Guarantees ``out_length == ceil(in_length / stride)`` for any input.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    causal: bool = False
+    norm: str = "none"
+    norm_kwargs: Dict[str, Any] = None
+    pad_mode: str = "constant"
+    nonlinearity: str = "linear"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, d = self.kernel_size, self.stride, self.dilation
+        padding_total = (k - 1) * d - (s - 1)
+        extra_padding = get_extra_padding_for_conv1d(x.shape[1], k, s, padding_total)
+        if self.causal:
+            x = pad1d(x, (padding_total, extra_padding), mode=self.pad_mode)
+        else:
+            padding_right = padding_total // 2
+            padding_left = padding_total - padding_right
+            x = pad1d(
+                x, (padding_left, padding_right + extra_padding), mode=self.pad_mode
+            )
+        return NormConv1d(
+            features=self.features,
+            kernel_size=k,
+            stride=s,
+            dilation=d,
+            groups=self.groups,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            norm_kwargs=self.norm_kwargs,
+            nonlinearity=self.nonlinearity,
+            name="conv",
+        )(x)
+
+
+class SConvTranspose1d(nn.Module):
+    """ConvTranspose1d with automatic padding removal (reference conv.py:766)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    causal: bool = False
+    norm: str = "none"
+    trim_right_ratio: float = 1.0
+    norm_kwargs: Dict[str, Any] = None
+    pad_mode: str = "constant"
+    use_bias: bool = True
+    nonlinearity: str = "linear"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not self.causal and self.trim_right_ratio != 1.0:
+            raise ValueError("trim_right_ratio != 1.0 requires causal=True")
+        if not 0.0 <= self.trim_right_ratio <= 1.0:
+            raise ValueError("trim_right_ratio must be in [0, 1]")
+        y = NormConvTranspose1d(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            groups=self.groups,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            norm_kwargs=self.norm_kwargs,
+            nonlinearity=self.nonlinearity,
+            name="convtr",
+        )(x)
+        padding_total = self.kernel_size - self.stride
+        if self.causal:
+            padding_right = math.ceil(padding_total * self.trim_right_ratio)
+            padding_left = padding_total - padding_right
+        else:
+            padding_right = padding_total // 2
+            padding_left = padding_total - padding_right
+        return unpad1d(y, (padding_left, padding_right))
+
+
+# ---------------------------------------------------------------------------
+# STFT as a strided convolution against a (optionally learnable) DFT basis
+# ---------------------------------------------------------------------------
+
+
+def dft_basis(n_fft: int, win_size: Optional[int] = None, win_type: str = "hann",
+              norm: Optional[str] = "backward") -> np.ndarray:
+    """Windowed DFT basis, shape ``(n_fft, 1, 2 * (n_fft//2 + 1))`` (WIO).
+
+    Matches reference modules/conv.py:1001-1020: rows are cos then sin of
+    ``-2*pi*k*n/N`` scaled by a periodic Hann window.
+    """
+    if win_size is None:
+        win_size = n_fft
+    if win_type == "hann":
+        # torch.hann_window(periodic=True)
+        window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / win_size)
+    elif win_type is None:
+        window = np.ones(win_size)
+    else:
+        raise ValueError(f"unknown window type {win_type}")
+    if win_size < n_fft:
+        padding = n_fft - win_size
+        window = np.pad(window, (padding // 2, padding - padding // 2))
+
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    k_ = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
+    ang = -2.0 * np.pi / n_fft * k_ * n
+    weight = np.concatenate([np.cos(ang), np.sin(ang)], axis=0) * window[None, :]
+    if norm == "forward":
+        weight = weight / n_fft
+    elif norm == "ortho":
+        weight = weight / math.sqrt(n_fft)
+    # torch conv1d weight (2F, 1, n_fft) -> JAX WIO (n_fft, 1, 2F)
+    return np.transpose(weight, (1, 0))[:, None, :].astype(np.float32)
+
+
+class CausalSTFT(nn.Module):
+    """Magnitude STFT via strided conv, left-padded ``n_fft - 1`` samples.
+
+    Input ``[B, T]`` or ``[B, T, 1]``; output ``[B, n_frames, n_fft//2+1]``
+    (NWC — frequency bins on the channel/lane axis, where downstream 1x1
+    convs want them). Reference: modules/conv.py:888-1087.
+    """
+
+    n_fft: int
+    hop_size: int
+    win_type: Optional[str] = "hann"
+    norm: Optional[str] = "backward"
+    pad_mode: str = "constant"
+    learnable: bool = False
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 2:
+            x = x[:, :, None]
+        basis = dft_basis(self.n_fft, win_type=self.win_type, norm=self.norm)
+        if self.learnable:
+            weight = self.param("weight", lambda key, shape: jnp.asarray(basis),
+                                basis.shape)
+        else:
+            weight = jnp.asarray(basis)
+        x = pad1d(x, (self.n_fft - 1, 0), mode=self.pad_mode)
+        spec = jax.lax.conv_general_dilated(
+            x,
+            weight.astype(x.dtype),
+            window_strides=(self.hop_size,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=conv_precision(),
+        )
+        f = self.n_fft // 2 + 1
+        re, im = spec[..., :f], spec[..., f:]
+        return jnp.sqrt(jnp.maximum(re * re + im * im, self.eps))
