@@ -472,28 +472,44 @@ def dft_basis(n_fft: int, win_size: Optional[int] = None, win_type: str = "hann"
 
     Matches reference modules/conv.py:1001-1020: rows are cos then sin of
     ``-2*pi*k*n/N`` scaled by a periodic Hann window.
+
+    All arithmetic is deliberately float32 in the reference's operation
+    order: at large n_fft the angle ``k*n*2pi/N`` reaches thousands of
+    radians, so f32 rounding of the *angle itself* perturbs the basis at
+    the ~4e-4 level — reproducing that rounding is required for numerical
+    parity with reference-trained checkpoints (a learnable-STFT basis is a
+    trained parameter).
     """
     if win_size is None:
         win_size = n_fft
     if win_type == "hann":
-        # torch.hann_window(periodic=True)
-        window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / win_size)
+        # torch.hann_window(periodic=True), computed in f32
+        nw = np.arange(win_size, dtype=np.float32)
+        window = (
+            np.float32(0.5)
+            - np.float32(0.5)
+            * np.cos(np.float32(2.0 * np.pi / win_size) * nw, dtype=np.float32)
+        ).astype(np.float32)
     elif win_type is None:
-        window = np.ones(win_size)
+        window = np.ones(win_size, dtype=np.float32)
     else:
         raise ValueError(f"unknown window type {win_type}")
     if win_size < n_fft:
         padding = n_fft - win_size
         window = np.pad(window, (padding // 2, padding - padding // 2))
 
-    n = np.arange(n_fft, dtype=np.float64)[None, :]
-    k_ = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
-    ang = -2.0 * np.pi / n_fft * k_ * n
-    weight = np.concatenate([np.cos(ang), np.sin(ang)], axis=0) * window[None, :]
+    n = np.arange(n_fft, dtype=np.float32)[None, :]
+    k_ = np.arange(n_fft // 2 + 1, dtype=np.float32)[:, None]
+    # scalar folded in f64 then downcast, as torch scalar*tensor promotion does
+    s = np.float32(-2.0 * math.pi / n_fft)
+    ang = ((s * k_).astype(np.float32) * n).astype(np.float32)
+    weight = np.concatenate(
+        [np.cos(ang, dtype=np.float32), np.sin(ang, dtype=np.float32)], axis=0
+    ) * window[None, :]
     if norm == "forward":
-        weight = weight / n_fft
+        weight = weight / np.float32(n_fft)
     elif norm == "ortho":
-        weight = weight / math.sqrt(n_fft)
+        weight = weight / np.float32(math.sqrt(n_fft))
     # torch conv1d weight (2F, 1, n_fft) -> JAX WIO (n_fft, 1, 2F)
     return np.transpose(weight, (1, 0))[:, None, :].astype(np.float32)
 
