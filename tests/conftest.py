@@ -3,20 +3,33 @@
 Multi-chip TPU hardware is not available in CI; sharding logic is validated
 on `xla_force_host_platform_device_count=8` CPU devices instead (the XLA
 program is the same module that runs over ICI on a real pod slice).
+
+NOTE: this environment's sitecustomize imports jax and registers the 'axon'
+TPU platform before conftest runs, so setting JAX_PLATFORMS in os.environ is
+too late — we must use jax.config.update after import. XLA_FLAGS still takes
+effect because backends initialize lazily (at the first jax.devices() call).
 """
 
 import os
 import sys
 
-# Must be set before jax is imported anywhere. Force CPU even if the outer
-# environment points at a TPU — tests validate numerics and sharding logic.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the virtual CPU mesh, got "
+        f"{jax.devices()}"
+    )

@@ -32,6 +32,122 @@ def import_reference_modules():
     return ref_modules
 
 
+def install_fake_audiotools():
+    """Install a minimal `audiotools` stand-in (test fixture only).
+
+    The reference's model layer imports descript-audiotools, which is not in
+    this image. Its models only touch AudioSignal.{audio_data, sample_rate,
+    device, to} and ml.BaseModel, so a tiny shim suffices to run them as
+    parity oracles. This shim is NOT part of the framework — the TPU build
+    has no audiotools concept at all.
+    """
+    import types
+
+    import torch
+
+    if "audiotools" in sys.modules:
+        return sys.modules["audiotools"]
+
+    class AudioSignal:
+        def __init__(self, audio_data, sample_rate=16000, stft_params=None):
+            if isinstance(audio_data, np.ndarray):
+                audio_data = torch.from_numpy(audio_data)
+            if audio_data.dim() == 2:
+                audio_data = audio_data.unsqueeze(1)
+            self.audio_data = audio_data
+            self.sample_rate = sample_rate
+            self.stft_params = stft_params
+
+        @property
+        def device(self):
+            return self.audio_data.device
+
+        def to(self, device):
+            self.audio_data = self.audio_data.to(device)
+            return self
+
+        def clone(self):
+            return AudioSignal(self.audio_data.clone(), self.sample_rate)
+
+    class STFTParams:
+        def __init__(self, window_length=2048, hop_length=512,
+                     match_stride=False):
+            self.window_length = window_length
+            self.hop_length = hop_length
+            self.match_stride = match_stride
+
+    mod = types.ModuleType("audiotools")
+    mod.AudioSignal = AudioSignal
+    mod.STFTParams = STFTParams
+    ml = types.ModuleType("audiotools.ml")
+    ml.BaseModel = torch.nn.Module
+    mod.ml = ml
+    sys.modules["audiotools"] = mod
+    sys.modules["audiotools.ml"] = ml
+    return mod
+
+
+def import_reference_models():
+    """Import the reference model classes with the audiotools shim.
+
+    Loads model/{generator,detector,locator}.py directly via importlib —
+    the package __init__ pulls in watermarking.py and the whole utils stack
+    (julius, torchaudio, ...) which this image doesn't have.
+    """
+    import importlib.util
+    import types
+
+    install_fake_audiotools()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    ns = types.SimpleNamespace()
+    for name in ("generator", "detector", "locator"):
+        mod_name = f"_ref_model_{name}"
+        if mod_name in sys.modules:
+            mod = sys.modules[mod_name]
+        else:
+            spec = importlib.util.spec_from_file_location(
+                mod_name, f"{REFERENCE_ROOT}/model/{name}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = mod
+            spec.loader.exec_module(mod)
+        setattr(ns, name.capitalize(), getattr(mod, name.capitalize()))
+    return ns
+
+
+def set_plain_convtr(params: dict, torch_convtr) -> None:
+    """Load a plain (non-parametrized) torch ConvTranspose1d."""
+    params["v"] = torch_convtr.weight.detach().cpu().numpy().astype(np.float32)
+    if torch_convtr.bias is not None:
+        params["b"] = torch_convtr.bias.detach().cpu().numpy().astype(np.float32)
+
+
+def set_norm_conv2d(params: dict, torch_conv) -> None:
+    """Load a torch weight-normed Conv2d into NormConv2d params.
+
+    torch weight: (Cout, Cin/g, Kh, Kw) -> HWIO (Kh, Kw, Cin/g, Cout).
+    """
+    w = fused_weight(torch_conv)
+    v = np.transpose(w, (2, 3, 1, 0))
+    params["v"] = np.ascontiguousarray(v.astype(np.float32))
+    if "g" in params:
+        params["g"] = np.sqrt(
+            (v.astype(np.float64) ** 2).sum(axis=(0, 1, 2))
+        ).astype(np.float32)
+    if torch_conv.bias is not None and "b" in params:
+        params["b"] = torch_conv.bias.detach().cpu().numpy().astype(np.float32)
+
+
+def set_plain_conv(params: dict, torch_conv) -> None:
+    """Load a plain torch Conv1d into NormConv1d(norm='none') params."""
+    w = torch_conv.weight.detach().cpu().numpy()  # (Cout, Cin, K)
+    params["v"] = np.ascontiguousarray(np.transpose(w, (2, 1, 0)).astype(np.float32))
+    if torch_conv.bias is not None:
+        params["b"] = torch_conv.bias.detach().cpu().numpy().astype(np.float32)
+
+
 def fused_weight(conv) -> np.ndarray:
     """Return the parametrization-fused weight of a torch conv."""
     import torch

@@ -245,6 +245,84 @@ class NormConv1d(nn.Module):
         return y
 
 
+class NormConv2d(nn.Module):
+    """Conv2d with pluggable weight parametrization, NHWC layout.
+
+    Parameter ``v`` has shape ``(Kh, Kw, Cin // groups, Cout)`` (HWIO);
+    weight-norm ``g`` has shape ``(Cout,)`` and normalizes over
+    (Kh, Kw, Cin//g), matching torch weight_norm(dim=0) on a
+    (Cout, Cin//g, Kh, Kw) kernel. ``padding`` is torch-style symmetric
+    per-dimension. Reference: modules/conv.py:437-503 and the WNConv2d
+    helper (reference model/discriminator.py:52-70).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    norm: str = "none"
+    norm_kwargs: Dict[str, Any] = None
+    nonlinearity: str = "linear"
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.norm not in CONV_NORMALIZATIONS:
+            raise ValueError(f"invalid norm: {self.norm}")
+        in_features = x.shape[-1]
+        if in_features % self.groups or self.features % self.groups:
+            raise ValueError("channels must be divisible by groups")
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, in_features // self.groups, self.features)
+        fan_in = kh * kw * kshape[2]
+        std = _kaiming_normal_std(fan_in, self.nonlinearity)
+        v = self.param(
+            "v", nn.initializers.normal(stddev=std, dtype=self.param_dtype), kshape
+        )
+
+        if self.norm == "weight_norm":
+            def g_init(key, shape, dtype=self.param_dtype):
+                del key
+                return jnp.sqrt(
+                    jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1, 2))
+                ).astype(dtype)
+
+            g = self.param("g", g_init, (self.features,))
+            norm_v = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True))
+            kernel = v * (g[None, None, None, :] / norm_v)
+        elif self.norm == "weight_standardization":
+            eps = (self.norm_kwargs or {}).get("eps", 1e-7)
+            g = self.param("g", nn.initializers.ones, (1, 1, 1, self.features))
+            mean = jnp.mean(v, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(v, axis=(0, 1, 2), keepdims=True)
+            kernel = g * (v - mean) * jax.lax.rsqrt(
+                jnp.maximum(var * float(fan_in), eps)
+            )
+        elif self.norm == "none":
+            kernel = v
+        else:
+            raise NotImplementedError(f"norm '{self.norm}' unsupported for 2d")
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            precision=conv_precision(),
+        )
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class NormConvTranspose1d(nn.Module):
     """ConvTranspose1d with weight parametrization, NWC layout.
 
