@@ -1,0 +1,257 @@
+"""Tests for the on-device effects, augmentations, scheduler, and metrics.
+
+Encodes the reference self-check invariants (SURVEY §4): effects preserve
+batch shape and mask binariness; BER/MIoU behave correctly under full and
+partial masks; the scheduler's param weighting responds to success feedback.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveverify_tpu.effects import (
+    AudioEffects,
+    EffectBank,
+    EffectScheduler,
+    apply_effect,
+    localization_augmentation,
+    sequence_augmentation,
+)
+from waveverify_tpu.metrics import ber, miou, sisnr
+
+KEY = jax.random.PRNGKey(0)
+
+
+def batch(b=4, t=16000, seed=0):
+    x = np.random.RandomState(seed).randn(b, t).astype(np.float32) * 0.1
+    return jnp.asarray(x)
+
+
+ALL_EFFECTS = [
+    ("identity", {}),
+    ("highpass_filter", {"cutoff_freq": 3500}),
+    ("lowpass_filter", {"cutoff_freq": 2000}),
+    ("bandpass_filter", {"cutoff_freq_low": 300, "cutoff_freq_high": 4000}),
+    ("speed", {"speed": 0.8}),
+    ("resample", {"new_sample_rate": 32000}),
+    ("random_noise", {"noise_std": 0.001}),
+    ("white_noise", {"noise_std": 0.01}),
+    ("pink_noise", {"noise_std": 0.01}),
+    ("echo", {}),
+    ("amplitude_scaling", {"scale": 0.5}),
+    ("quantization", {"bit_depth": 8}),
+    ("sample_suppression", {"suppression_percentage": 0.1}),
+    ("shush", {"fraction": 0.01}),
+    ("median_filter", {"kernel_size": 3}),
+    ("smooth", {"window_size": 5}),
+    ("random_equalization", {}),
+    ("codec_proxy", {}),
+]
+
+
+@pytest.mark.parametrize("name,params", ALL_EFFECTS)
+def test_effect_shape_and_mask_invariants(name, params):
+    """Every effect preserves shape and returns a binary mask
+    (reference utils/effect_augmentation.py:2638-2877 test_all_effects)."""
+    x = batch()
+    mask = jnp.ones_like(x)
+    fn = getattr(AudioEffects, name)
+    y, m = fn(x, mask, KEY, **params)
+    assert y.shape == x.shape
+    assert m.shape == mask.shape
+    vals = np.unique(np.asarray(m))
+    assert np.all((vals == 0) | (vals == 1)), f"mask not binary: {vals}"
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_effects_differentiable():
+    """Scheduled train effects must pass gradients to the input (STE or real)."""
+    x = batch(2, 3200)
+    mask = jnp.ones_like(x)
+    for name, params in [
+        ("highpass_filter", {"cutoff_freq": 500}),
+        ("speed", {"speed": 0.8}),
+        ("resample", {"new_sample_rate": 32000}),
+        ("quantization", {"bit_depth": 8}),
+        ("random_noise", {"noise_std": 0.001}),
+    ]:
+        fn = getattr(AudioEffects, name)
+        g = jax.grad(lambda a: jnp.sum(fn(a, mask, KEY, **params)[0] ** 2))(x)
+        assert np.abs(np.asarray(g)).max() > 0, f"{name} has zero gradient"
+
+
+def test_effect_bank_dispatch():
+    bank = EffectBank.default_train_bank()
+    x = batch()
+    mask = jnp.ones_like(x)
+    idx = jnp.asarray([0, 6, 8, 3], jnp.int32)  # identity, speed, noise, lp
+    y, m = jax.jit(bank.apply)(x, mask, idx, KEY)
+    assert y.shape == x.shape and m.shape == mask.shape
+    # identity row is exactly the input
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(x[0]), atol=1e-6)
+    # speed row differs
+    assert np.abs(np.asarray(y[1] - x[1])).max() > 1e-4
+
+
+def test_apply_effect_shapes():
+    x1 = batch(1)[0]  # 1D
+    y, _ = apply_effect(x1, "lowpass_filter", cutoff_freq=2000)
+    assert y.shape == x1.shape
+    x3 = batch()[:, :, None]  # [B, T, 1]
+    y3, _ = apply_effect(x3, "identity")
+    assert y3.shape == x3.shape
+
+
+def test_speed_semantics():
+    """speed(0.8) == sox speed + STE stretch-back: the net transform keeps
+    the tone frequency (the stretch undoes the tempo change) but injects
+    double-resample artifacts — the property the watermark must survive
+    (reference utils/effect_augmentation.py:1381-1448 + :580-589)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = jnp.asarray(np.sin(2 * np.pi * 1000 * t, dtype=np.float32))[None]
+    y, _ = AudioEffects.speed(tone, None, KEY, speed=0.8)
+    y = np.asarray(y)[0]
+    mid = y[2000:14000]
+    crossings = np.sum(np.diff(np.signbit(mid)))
+    freq = crossings / 2 / (len(mid) / sr)
+    assert abs(freq - 1000) < 20, freq  # frequency preserved
+    # but not the identity: near-Nyquist content is destroyed by the chain
+    hi = jnp.asarray(np.sin(2 * np.pi * 7600 * t, dtype=np.float32))[None]
+    z = np.asarray(AudioEffects.speed(hi, None, KEY, speed=0.8)[0])[0]
+    out_rms = np.sqrt((z[2000:14000] ** 2).mean())
+    assert out_rms < 0.3, out_rms  # 7.6 kHz tone heavily attenuated
+
+
+# ---------------------------------------------------------------------------
+# Augmentations
+# ---------------------------------------------------------------------------
+
+
+def test_localization_augmentation():
+    orig = batch(4, 16000, seed=1)
+    wm = orig + 0.01
+    aug, mask, upd = localization_augmentation(KEY, orig, wm)
+    assert aug.shape == wm.shape and mask.shape == wm.shape
+    m = np.asarray(mask)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    # ~20% of segments modified -> mask zero fraction in [5%, 35%]
+    frac = 1 - m.mean()
+    assert 0.05 < frac < 0.35, frac
+    # where mask==1, audio is untouched watermarked
+    keep = m == 1
+    np.testing.assert_allclose(np.asarray(aug)[keep], np.asarray(wm)[keep])
+
+
+def test_sequence_augmentation_consistency():
+    wm = batch(2, 16000, seed=2)
+    orig = batch(2, 16000, seed=3)
+    mask = (batch(2, 16000, seed=4) > 0).astype(jnp.float32)
+    for seed in range(6):
+        k = jax.random.PRNGKey(seed)
+        w2, o2, m2 = sequence_augmentation(k, wm, orig, mask)
+        assert w2.shape == wm.shape
+        # transform applied identically: sample multisets preserved
+        np.testing.assert_allclose(
+            np.sort(np.asarray(w2), axis=1), np.sort(np.asarray(wm), axis=1),
+            atol=1e-6,
+        )
+        # mask stays binary
+        assert set(np.unique(np.asarray(m2))) <= {0.0, 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Scheduler
+# ---------------------------------------------------------------------------
+
+
+def test_scheduler_selection_and_feedback():
+    sched = EffectScheduler(rng=np.random.RandomState(0))
+    bank = EffectBank.default_train_bank()
+    idx, selections = sched.select_bank_indices(32, bank.specs)
+    assert idx.shape == (32,) and idx.dtype == np.int32
+    assert all(0 <= i < len(bank) for i in idx)
+    assert len(selections) == 32
+
+    # feedback: highpass 3500 always fails, 500 always succeeds
+    for _ in range(50):
+        sched.update_effect_metrics("highpass_filter", {"cutoff_freq": 3500},
+                                    0.4, 0.5)
+        sched.update_effect_metrics("highpass_filter", {"cutoff_freq": 500},
+                                    0.0, 0.99)
+    # success-rate weighting: 500 gets weight 0.6 vs 3500's 0.1 -> selected
+    # ~86% of the time
+    counts = {500: 0, 3500: 0}
+    for _ in range(400):
+        p = sched._resolve_effect_params(
+            sched.effect_params["highpass_filter"], "highpass_filter"
+        )
+        counts[p["cutoff_freq"]] += 1
+    assert counts[500] > counts[3500] * 2, counts
+
+    # EMA history recorded
+    assert sched.effect_metrics_history["highpass_filter"]["ber"] is not None
+
+    # adapt_effect_probabilities works but is off-path (never auto-called)
+    before = dict(sched.effect_probabilities)
+    sched.adapt_effect_probabilities()
+    after = sched.effect_probabilities
+    assert abs(sum(after.values()) - 1.0) < 1e-9
+    assert before != after
+
+
+def test_scheduler_state_roundtrip():
+    sched = EffectScheduler(rng=np.random.RandomState(0))
+    sched.update_effect_metrics("speed", {"speed": 0.8}, 0.1, 0.9)
+    state = sched.state_dict()
+    sched2 = EffectScheduler(rng=np.random.RandomState(1))
+    sched2.load_state_dict(state)
+    assert sched2.effect_metrics_history["speed"]["ber"] == pytest.approx(0.1)
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def test_ber_full_and_partial_mask():
+    b_, t, w = 2, 100, 16
+    bits = jnp.asarray(np.random.RandomState(0).randint(0, 2, (b_, w)))
+    # logits strongly encode the bits everywhere
+    logits = (bits[:, None, :] * 2.0 - 1.0) * 10.0
+    logits = jnp.broadcast_to(logits, (b_, t, w))
+    assert float(ber(logits, bits)) == 0.0
+    # flipped logits -> BER 1
+    assert float(ber(-logits, bits)) == 1.0
+    # partial mask: correct in masked region, garbage elsewhere
+    noise = jnp.asarray(
+        np.random.RandomState(1).randn(b_, t, w).astype(np.float32) * 10
+    )
+    half = jnp.concatenate([jnp.ones((b_, t // 2)), jnp.zeros((b_, t // 2))], 1)
+    mixed = jnp.where(half[:, :, None] > 0, logits, noise)
+    assert float(ber(mixed, bits, half)) == 0.0
+    # per-sample variant
+    ps = ber(mixed, bits, half, per_sample=True)
+    assert ps.shape == (b_,)
+
+
+def test_miou_cases():
+    full = jnp.ones((2, 100))
+    assert float(miou(full, full)) == 1.0
+    assert float(miou(full, jnp.zeros((2, 100)))) == 0.0
+    half_pred = jnp.concatenate([jnp.ones((1, 50)), jnp.zeros((1, 50))], 1)
+    m = float(miou(half_pred, jnp.ones((1, 100))))
+    assert 0.2 < m < 0.3  # fg IoU 0.5, bg IoU 0 -> 0.25
+    ps = miou(full, full, per_sample=True)
+    assert ps.shape == (2,)
+
+
+def test_sisnr():
+    x = batch(2, 8000, seed=5)
+    assert float(sisnr(x, x)) > 60  # identical -> very high
+    assert float(sisnr(x * 0.5, x)) > 60  # scale-invariant
+    y = x + 0.1 * batch(2, 8000, seed=6)
+    v = float(sisnr(y, x))
+    assert -5 < v < 25
