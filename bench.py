@@ -1,0 +1,112 @@
+"""Headline benchmark: embed+detect throughput (clips/sec/chip @ 16 kHz).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+The BASELINE.json target is >= 20x the CPU baseline per chip. The baseline
+is the same embed+detect pipeline executed on the host CPU backend (the
+reference is a CPU/GPU PyTorch stack; its CPU path is the portable
+baseline available in this image). ``vs_baseline`` = device throughput /
+host-CPU throughput measured in the same process.
+
+Usage: python bench.py [--batch 64] [--seconds 1.0] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+
+def _build(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from waveverify_tpu.train.state import create_train_state
+    from waveverify_tpu.train.watermarking import WatermarkModels
+
+    models = WatermarkModels.from_config(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+
+    @jax.jit
+    def embed_detect(params, audio, msg):
+        residual = models.apply_generator(params["generator"], audio, msg)
+        watermarked = residual + audio
+        logits = models.apply_detector(params["detector"], watermarked)
+        bit_probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)
+        return watermarked, bit_probs
+
+    return embed_detect, state.wm_params
+
+
+def _throughput(device, batch: int, clip_len: int, iters: int) -> float:
+    """clips/sec of jitted embed+detect on `device`."""
+    import jax
+
+    from waveverify_tpu.config import TrainConfig
+
+    cfg = TrainConfig()
+    with jax.default_device(device):
+        fn, params = _build(cfg)
+        rng = np.random.RandomState(0)
+        audio = jax.device_put(
+            rng.randn(batch, clip_len).astype(np.float32) * 0.1, device
+        )
+        msg = jax.device_put(
+            rng.randint(0, 2, (batch, 16)).astype(np.float32), device
+        )
+        params = jax.device_put(params, device)
+        # warmup / compile
+        w, p = fn(params, audio, msg)
+        jax.block_until_ready((w, p))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            w, p = fn(params, audio, msg)
+        jax.block_until_ready((w, p))
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=1.0)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu-iters", type=int, default=3)
+    ap.add_argument("--cpu-batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    clip_len = int(16000 * args.seconds)
+
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    cpu = jax.devices("cpu")[0] if accel else None
+    target = accel[0] if accel else jax.devices()[0]
+
+    value = _throughput(target, args.batch, clip_len, args.iters)
+
+    if accel:
+        cpu_tp = _throughput(cpu, args.cpu_batch, clip_len, args.cpu_iters)
+    else:
+        cpu_tp = value  # already on CPU: ratio 1.0 by definition
+
+    print(json.dumps({
+        "metric": "embed_detect_throughput_16khz_1s_clips",
+        "value": round(value, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(value / max(cpu_tp, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Public-API tests: WaveVerify embed/detect/locate/verify + WatermarkID +
+audio I/O + message conversions (reference waveverify/ package semantics)."""
+
+import numpy as np
+import pytest
+
+from waveverify_tpu import WatermarkID
+from waveverify_tpu.api.audio_io import (
+    load_audio,
+    message_to_tensor,
+    save_audio,
+    tensor_to_message,
+)
+from waveverify_tpu.api.core import WaveVerify, _next_bucket
+from waveverify_tpu.config import (
+    DetectorConfig,
+    GeneratorConfig,
+    LocatorConfig,
+    TrainConfig,
+)
+
+SMALL = dict(
+    dimension=32, channels_enc=8, kernel_size=5, last_kernel_size=5,
+    residual_kernel_size=5, dilation_base=1, skip="identity", causal=True,
+    encoder_l2norm=True, bias=True, spec_compression="log", zero_init=False,
+)
+
+
+@pytest.fixture(scope="module")
+def wv():
+    cfg = TrainConfig(
+        generator=GeneratorConfig(channels_dec=12, n_residual_enc=1,
+                                  n_residual_dec=1, **SMALL),
+        detector=DetectorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        locator=LocatorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+    )
+    return WaveVerify(config=cfg)
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("audio") / "tone.wav"
+    t = np.arange(12345) / 16000  # deliberately not a hop multiple
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    save_audio(x, path)
+    return path
+
+
+def test_embed_returns_same_length(wv, wav_file, tmp_path):
+    out_path = tmp_path / "wm.wav"
+    wm = WatermarkID.custom(0xBEEF)
+    audio, sr, wm_out = wv.embed(wav_file, wm, out_path)
+    assert sr == 16000
+    assert audio.shape == (12345,)
+    assert wm_out.to_bits() == wm.to_bits()
+    assert out_path.exists()
+    # watermark is a small additive perturbation
+    orig, _ = load_audio(wav_file)
+    assert not np.allclose(audio, orig)
+    assert np.mean(np.abs(audio - orig)) < 0.5
+
+
+def test_detect_types(wv, wav_file):
+    wm, conf = wv.detect(wav_file)
+    assert isinstance(wm, WatermarkID)
+    assert len(wm.to_bits()) == 16
+    assert 0.0 <= conf <= 1.0
+
+
+def test_locate_shape(wv, wav_file):
+    mask = wv.locate(wav_file)
+    assert mask.shape == (12345,)
+    assert mask.min() >= 0.0 and mask.max() <= 1.0
+
+
+def test_verify_self_consistent(wv, wav_file):
+    detected, _ = wv.detect(wav_file)
+    assert wv.verify(wav_file, detected) is True
+    flipped = "".join("1" if b == "0" else "0" for b in detected.to_bits())
+    assert wv.verify(wav_file, flipped) is False
+
+
+def test_accepts_raw_watermark_values(wv, wav_file, tmp_path):
+    # int / str / bytes accepted like the reference (core.py:703-729)
+    for value in (1234, "0101010101010101", b"\x12\x34"):
+        _, _, wm = wv.embed(wav_file, value, tmp_path / "x.wav")
+        assert isinstance(wm, WatermarkID)
+
+
+def test_batch_embed_detect(wv):
+    rng = np.random.RandomState(0)
+    audio = rng.randn(3, 4800).astype(np.float32) * 0.1
+    bits = rng.randint(0, 2, (3, 16)).astype(np.float32)
+    watermarked = wv.embed_batch(audio, bits)
+    assert watermarked.shape == audio.shape
+    got_bits, conf = wv.detect_batch(watermarked)
+    assert got_bits.shape == (3, 16)
+    assert conf.shape == (3,)
+
+
+def test_bucket_padding():
+    assert _next_bucket(100) == 4800
+    b1 = _next_bucket(16000)
+    assert b1 >= 16000 and b1 % 320 == 0
+    # monotone, geometric-ish
+    assert _next_bucket(b1) == b1
+    b2 = _next_bucket(b1 + 1)
+    assert b2 > b1 and b2 % 320 == 0
+    # few buckets over 4 orders of magnitude
+    buckets = {_next_bucket(n) for n in range(4800, 16000 * 60, 999)}
+    assert len(buckets) < 30
+
+
+def test_message_tensor_roundtrip():
+    bits = "0110100111001010"
+    t = message_to_tensor(bits)
+    assert t.shape == (1, 16)
+    assert tensor_to_message(t) == bits
+    with pytest.raises(ValueError):
+        message_to_tensor("012")
+
+
+def test_tensor_to_message_time_average():
+    # 3-D [B, T, W] averages over time first (reference utils.py:356-412)
+    x = np.zeros((1, 4, 3), np.float32)
+    x[0, :, 0] = [0.9, 0.9, 0.0, 0.9]  # mean 0.675 -> 1
+    x[0, :, 1] = [0.4, 0.4, 0.4, 0.4]  # -> 0
+    x[0, :, 2] = [1.0, 1.0, 1.0, 1.0]  # -> 1
+    assert tensor_to_message(x) == "101"
+
+
+# ---------------------------------------------------------------------------
+# WatermarkID semantics (reference waveverify/watermark_id.py)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_id_factories():
+    a = WatermarkID.for_creator("studio_abc")
+    b = WatermarkID.for_creator("studio_abc")
+    assert a == b and a.to_bits() == b.to_bits()
+    assert len(a.to_bits()) == 16
+
+    c = WatermarkID.custom(0)
+    assert c.to_int() == 0 and c.to_bits() == "0" * 16
+    d = WatermarkID.custom(65535)
+    assert d.to_bits() == "1" * 16
+    with pytest.raises(ValueError):
+        WatermarkID.custom(65536)
+
+    e = WatermarkID.custom(b"\xab\xcd")
+    assert e.to_int() == 0xABCD
+    assert e.to_hex().lower().endswith("abcd")
+
+    f = WatermarkID.for_tracking("12345")
+    assert f.to_int() == 12345  # numeric-direct path
+
+
+def test_watermark_id_timestamp_packing():
+    from datetime import datetime
+
+    ts = datetime(2025, 3, 15, 14, 0)  # quarter-of-day = 2
+    wm = WatermarkID.for_timestamp(ts)
+    bits = wm.to_bits()
+    year = int(bits[0:5], 2) + 2024
+    month = int(bits[5:9], 2)
+    day = int(bits[9:14], 2)
+    quarter = int(bits[14:16], 2)
+    assert (year, month, day, quarter) == (2025, 3, 15, 2)
+
+
+def test_load_audio_resamples(tmp_path):
+    # write an 8 kHz file, loader must return 16 kHz
+    import wave
+
+    path = tmp_path / "lo.wav"
+    x = (np.sin(2 * np.pi * 220 * np.arange(4000) / 8000) * 0.5)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes((x * 32767).astype(np.int16).tobytes())
+    y, sr = load_audio(path)
+    assert sr == 16000
+    assert abs(len(y) - 8000) <= 8

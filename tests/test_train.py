@@ -1,0 +1,258 @@
+"""Training-layer tests: composite forward, full train step on the 8-device
+virtual mesh, optimizer semantics, data pipeline, checkpointing.
+
+Uses a shrunken (but topologically identical) config so the jitted step
+compiles in seconds on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveverify_tpu.config import (
+    DetectorConfig,
+    DiscriminatorConfig,
+    GeneratorConfig,
+    LocatorConfig,
+    LossConfig,
+    TrainConfig,
+)
+from waveverify_tpu.effects.effects import EffectBank
+from waveverify_tpu.effects.scheduler import EffectScheduler
+from waveverify_tpu.parallel import make_mesh, shard_batch, shard_train_step
+from waveverify_tpu.train import (
+    WatermarkModels,
+    create_train_state,
+    forward_audio_sample,
+    forward_train,
+    forward_valid,
+    make_train_step,
+    make_val_step,
+)
+from waveverify_tpu.train.data import (
+    SyntheticAudioDataset,
+    generate_random_message,
+)
+from waveverify_tpu.train.state import clip_by_global_norm, param_count
+
+SMALL = dict(
+    dimension=32, channels_enc=8, kernel_size=5, last_kernel_size=5,
+    residual_kernel_size=5, dilation_base=1, skip="identity", causal=True,
+    encoder_l2norm=True, bias=True, spec_compression="log", zero_init=False,
+)
+
+
+def tiny_config(batch_size: int = 4) -> TrainConfig:
+    return TrainConfig(
+        generator=GeneratorConfig(channels_dec=12, n_residual_enc=1,
+                                  n_residual_dec=1, **SMALL),
+        detector=DetectorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        locator=LocatorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        discriminator=DiscriminatorConfig(periods=(2,), fft_sizes=(256,)),
+        loss=LossConfig(
+            stft_window_lengths=(256,),
+            mel_n_mels=(5, 10),
+            mel_window_lengths=(128, 256),
+        ),
+        batch_size=batch_size,
+    )
+
+
+SMALL_BANK = EffectBank([
+    ("identity", {}),
+    ("highpass_filter", {"cutoff_freq": 500}),
+    ("random_noise", {"noise_std": 0.001}),
+])
+
+B, T = 4, 3200
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(B)
+    models = WatermarkModels.from_config(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models,
+                               example_length=T)
+    rng = np.random.RandomState(0)
+    audio = rng.randn(B, T).astype(np.float32) * 0.1
+    msg = rng.randint(0, 2, (B, 16)).astype(np.float32)
+    idx = rng.randint(0, len(SMALL_BANK), B).astype(np.int32)
+    return cfg, models, state, audio, msg, idx
+
+
+def test_forward_train_shapes(setup):
+    cfg, models, state, audio, msg, idx = setup
+    out = jax.jit(
+        lambda p, a, m, i, k: forward_train(models, p, k, a, m, i, SMALL_BANK)
+    )(state.wm_params, audio, msg, idx, jax.random.PRNGKey(1))
+    assert out["residual"].shape == (B, T)
+    assert out["watermarked"].shape == (B, T)
+    assert out["mask"].shape == (B, T)
+    assert out["detector_logits"].shape == (B, T, 16)
+    assert out["locator_logits"].shape == (B, T)
+    mask = np.asarray(out["mask"])
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    # watermarked = residual + audio exactly
+    np.testing.assert_allclose(
+        np.asarray(out["watermarked"]),
+        np.asarray(out["residual"]) + audio, atol=1e-6,
+    )
+
+
+def test_forward_audio_sample(setup):
+    cfg, models, state, audio, msg, idx = setup
+    residual, watermarked = forward_audio_sample(
+        models, state.wm_params, jnp.asarray(audio), jnp.asarray(msg)
+    )
+    np.testing.assert_allclose(np.asarray(watermarked),
+                               np.asarray(residual) + audio, atol=1e-6)
+
+
+def test_train_step_runs_and_learns(setup):
+    """Two steps on the 8-device mesh: params change, metrics finite, and the
+    decoding loss direction is sane."""
+    cfg, models, state, audio, msg, idx = setup
+    mesh = make_mesh(4)  # B=4 over 4 of the 8 virtual devices
+    step = shard_train_step(
+        make_train_step(models, cfg, SMALL_BANK), mesh, donate_state=False
+    )
+    a, m, i = shard_batch(mesh, audio, msg, idx)
+    key = jax.random.PRNGKey(2)
+    state1, metrics1 = step(state, a, m, i, key)
+    state2, metrics2 = step(state1, a, m, i, key)
+
+    for k in ("loss", "adv/disc_loss", "dec/loss", "loc/loss", "stft/loss",
+              "mel/loss", "waveform/loss", "train/ber", "train/miou"):
+        assert np.isfinite(float(np.asarray(metrics1[k]))), k
+
+    assert int(state2.step) == 2
+    # params actually moved
+    g0 = jax.tree_util.tree_leaves(state.wm_params["generator"])[0]
+    g2 = jax.tree_util.tree_leaves(state2.wm_params["generator"])[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g2))
+    d0 = jax.tree_util.tree_leaves(state.disc_params)[0]
+    d2 = jax.tree_util.tree_leaves(state2.disc_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d2))
+    # per-sample metrics have batch shape
+    assert np.asarray(metrics1["per_sample_ber"]).shape == (B,)
+    assert np.asarray(metrics1["per_sample_miou"]).shape == (B,)
+
+
+def test_val_step(setup):
+    cfg, models, state, audio, msg, idx = setup
+    eval_effects = [("identity", {}), ("random_noise", {"noise_std": 0.001})]
+    val = jax.jit(make_val_step(models, cfg, eval_effects))
+    out = val(state, jnp.asarray(audio), jnp.asarray(msg),
+              jax.random.PRNGKey(3))
+    assert "val/ber/identity" in out and "val/miou/random_noise" in out
+    for k, v in out.items():
+        assert np.isfinite(float(np.asarray(v))), k
+    assert 0.0 <= float(np.asarray(out["val/ber"])) <= 1.0
+    assert 0.0 <= float(np.asarray(out["val/miou"])) <= 1.0
+
+
+def test_forward_valid_sweep(setup):
+    cfg, models, state, audio, msg, idx = setup
+    out = forward_valid(models, state.wm_params, jax.random.PRNGKey(4),
+                        jnp.asarray(audio), jnp.asarray(msg),
+                        eval_effects=[("identity", {})])
+    assert "identity" in out["effects"]
+    res = out["effects"]["identity"]
+    assert np.asarray(res["mask"]).min() == 1.0  # full presence
+
+
+def test_clip_by_global_norm():
+    tree = {"a": jnp.ones((4,)) * 3.0, "b": jnp.ones((2,)) * 4.0}
+    # global norm = sqrt(4*9 + 2*16) = sqrt(68)
+    clipped, norm = clip_by_global_norm(tree, 1.0)
+    assert np.isclose(float(norm), np.sqrt(68.0), rtol=1e-5)
+    cn = np.sqrt(sum(float(np.sum(np.square(x)))
+                     for x in jax.tree_util.tree_leaves(clipped)))
+    assert cn <= 1.0 + 1e-4
+    # below the limit: unchanged
+    same, _ = clip_by_global_norm(tree, 100.0)
+    np.testing.assert_allclose(np.asarray(same["a"]), np.asarray(tree["a"]))
+
+
+def test_scheduler_bank_bridge():
+    sched = EffectScheduler(rng=np.random.RandomState(0))
+    bank = EffectBank.default_train_bank()
+    idx, selections = sched.select_bank_indices(32, bank.specs)
+    assert idx.shape == (32,) and idx.dtype == np.int32
+    assert len(selections) == 32
+    assert idx.min() >= 0 and idx.max() < len(bank)
+    # every selected (name, params) maps to the right branch
+    for i, (name, params) in zip(idx, selections):
+        assert bank.specs[i][0] == name
+    # reference cap quirk: at most |catalog| non-identity picks
+    idx_capped, sel_capped = sched.select_bank_indices(
+        32, bank.specs, match_reference_cap=True)
+    assert len(sel_capped) == len(sched.effect_params)
+    assert (idx_capped[len(sel_capped):] == 0).all()
+
+
+def test_scheduler_feedback_loop():
+    from waveverify_tpu.train.loop import _feed_scheduler
+
+    sched = EffectScheduler(rng=np.random.RandomState(0))
+    selections = [("highpass_filter", {"cutoff_freq": 500}),
+                  ("speed", {"speed": 0.8})]
+    _feed_scheduler(
+        sched,
+        {"ber": np.array([0.0, 0.4]), "miou": np.array([0.99, 0.7])},
+        selections,
+    )
+    assert sched.effect_metrics_history["highpass_filter"]["ber"] == 0.0
+    assert sched.effect_metrics_history["speed"]["ber"] == pytest.approx(0.4)
+    # success tracking recorded for the param choices
+    hp = sched.parameter_success_rates["highpass_filter"]
+    assert hp[("cutoff_freq", 500)] == [True]
+    sp = sched.parameter_success_rates["speed"]
+    assert sp[("speed", 0.8)] == [False]
+
+
+def test_synthetic_dataset_and_messages():
+    ds = SyntheticAudioDataset(duration=0.5, seed=1)
+    batch = ds.batch(3)
+    assert batch.shape == (3, 8000) and batch.dtype == np.float32
+    assert np.abs(batch).max() <= 1.0
+    msg = generate_random_message(np.random.RandomState(0), 5, 16)
+    assert msg.shape == (5, 16)
+    assert set(np.unique(msg)) <= {0.0, 1.0}
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from waveverify_tpu.train import checkpoint as ckpt
+
+    cfg, models, state, audio, msg, idx = setup
+    host = {"step": 7, "scheduler_state": {"total_effects": 3}}
+    ckpt.save_checkpoint(str(tmp_path), "latest", state, host)
+    assert ckpt.checkpoint_tags(str(tmp_path)) == ["latest"]
+
+    # fresh target with different values
+    target = create_train_state(cfg, jax.random.PRNGKey(99), models,
+                                example_length=T)
+    restored, meta = ckpt.load_checkpoint(str(tmp_path), "latest", target)
+    assert meta["step"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state.wm_params),
+                    jax.tree_util.tree_leaves(restored.wm_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wav_io_roundtrip(tmp_path):
+    from waveverify_tpu.train.data import AudioFolderDataset, read_wav
+    from waveverify_tpu.api.audio_io import save_audio
+
+    x = (np.sin(2 * np.pi * 440 * np.arange(16000) / 16000) * 0.5).astype(
+        np.float32
+    )
+    save_audio(x, tmp_path / "a.wav")
+    y, sr = read_wav(str(tmp_path / "a.wav"))
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+    ds = AudioFolderDataset([str(tmp_path)], duration=0.25)
+    crop = ds.sample_crop()
+    assert crop.shape == (4000,)

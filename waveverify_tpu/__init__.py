@@ -32,4 +32,8 @@ def __getattr__(name):
         from waveverify_tpu.api.core import WaveVerify
 
         return WaveVerify
+    if name == "convert_torch_checkpoint":
+        from waveverify_tpu.convert import convert_torch_checkpoint
+
+        return convert_torch_checkpoint
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,250 @@
+"""Public inference API: WaveVerify embed / detect / locate / verify.
+
+Mirrors the reference API exactly (reference waveverify/core.py:51-729) —
+same method signatures, return types, and decision semantics:
+
+- ``embed(path, wm, out)``   -> (np watermarked, 16000, WatermarkID)
+- ``detect(path)``           -> (WatermarkID, confidence); confidence is the
+  mean over time and bits of sigmoid(logits) (reference core.py:577-583);
+  bits via sigmoid -> time mean -> threshold 0.5 (the canonical path, see
+  SURVEY.md §3.4).
+- ``locate(path)``           -> per-sample float mask, linearly interpolated
+  back to the input length (reference core.py:599-655).
+- ``verify(path, expected)`` -> bool bit equality (reference core.py:657-701).
+
+TPU-native design: each network is a jitted apply over **bucketed lengths**
+(audio is right-padded to the next bucket so arbitrary-length files reuse a
+small set of compiled programs; the conv stack is causal so padding never
+contaminates earlier samples, and outputs are trimmed back). Batched
+variants (`embed_batch` / `detect_batch`) shard over the data mesh for
+fleet-scale serving.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveverify_tpu.api.audio_io import (
+    load_audio,
+    message_to_tensor,
+    save_audio,
+    tensor_to_message,
+)
+from waveverify_tpu.api.watermark_id import WatermarkID
+from waveverify_tpu.config import TrainConfig, load_config
+from waveverify_tpu.models.detector import detector_bits, detector_confidence
+from waveverify_tpu.train.watermarking import WatermarkModels
+
+logger = logging.getLogger(__name__)
+
+SAMPLE_RATE = 16000
+
+
+def _next_bucket(length: int, hop: int = 320, min_len: int = 4800) -> int:
+    """Smallest bucket >= length: hop-aligned, ~1.26x geometric spacing so
+    any audio length maps to one of ~25 compiled programs."""
+    n = max(length, min_len)
+    bucket = min_len
+    while bucket < n:
+        bucket = int(math.ceil(bucket * 1.26 / hop) * hop)
+    return bucket
+
+
+class WaveVerify:
+    """Drop-in replacement for the reference ``waveverify.WaveVerify``.
+
+    Parameters
+    ----------
+    checkpoint_path:
+        - a directory written by :mod:`waveverify_tpu.train.checkpoint`
+          (orbax) or by :func:`waveverify_tpu.convert.convert_checkpoint`;
+        - a reference PyTorch ``.pth`` file (converted on the fly, needs
+          host torch — baked into this image);
+        - ``None``: randomly-initialized weights (embedding still works
+          end-to-end; detection quality requires trained weights).
+    config_path: optional reference-format YAML (conf/base.yml schema).
+    """
+
+    def __init__(self, checkpoint_path: Optional[Union[str, Path]] = None,
+                 config_path: Optional[Union[str, Path]] = None,
+                 config: Optional[TrainConfig] = None,
+                 seed: int = 0):
+        self.config = config if config is not None else load_config(config_path)
+        self.models = WatermarkModels.from_config(self.config)
+        self.sample_rate = self.config.generator.sample_rate
+        self.hop = self.config.generator.hop_length
+        self._apply_cache: Dict[Tuple[str, int], callable] = {}
+
+        if checkpoint_path is not None:
+            self.params = self._load_params(Path(checkpoint_path))
+        else:
+            logger.warning(
+                "no checkpoint given — using randomly initialized weights"
+            )
+            from waveverify_tpu.train.state import create_train_state
+
+            state = create_train_state(self.config, jax.random.PRNGKey(seed),
+                                       self.models)
+            self.params = state.wm_params
+
+    # -- checkpoint loading ---------------------------------------------------
+
+    def _load_params(self, path: Path):
+        if path.suffix in (".pth", ".pt", ".ckpt"):
+            from waveverify_tpu.convert import convert_torch_checkpoint
+
+            logger.info("converting PyTorch checkpoint %s", path)
+            return convert_torch_checkpoint(path, self.config)
+        # orbax TrainState dir (tag dir or ckpt root containing 'latest')
+        from waveverify_tpu.train import checkpoint as ckpt
+        from waveverify_tpu.train.state import create_train_state
+
+        root, tag = path, None
+        if (path / "state").exists():
+            root, tag = path.parent, path.name
+        elif (path / "latest").exists():
+            tag = "latest"
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint found at {path} (expected an orbax tag dir "
+                "or a .pth file)"
+            )
+        target = create_train_state(self.config, jax.random.PRNGKey(0),
+                                    self.models)
+        state, _meta = ckpt.load_checkpoint(str(root), tag, target)
+        return jax.tree_util.tree_map(jnp.asarray, state.wm_params)
+
+    # -- jitted model appliers (per bucketed length) --------------------------
+
+    def _generator_fn(self, length: int):
+        key = ("generator", length)
+        if key not in self._apply_cache:
+            @jax.jit
+            def run(params, audio, msg):
+                residual = self.models.apply_generator(
+                    params["generator"], audio, msg
+                )
+                return residual, residual + audio
+
+            self._apply_cache[key] = run
+        return self._apply_cache[key]
+
+    def _detector_fn(self, length: int):
+        key = ("detector", length)
+        if key not in self._apply_cache:
+            @jax.jit
+            def run(params, audio):
+                logits = self.models.apply_detector(params["detector"], audio)
+                probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)  # [B, nbits]
+                conf = detector_confidence(logits)
+                return probs, conf
+
+            self._apply_cache[key] = run
+        return self._apply_cache[key]
+
+    def _locator_fn(self, length: int):
+        key = ("locator", length)
+        if key not in self._apply_cache:
+            @jax.jit
+            def run(params, audio):
+                return jax.nn.sigmoid(
+                    self.models.apply_locator(params["locator"], audio)
+                )
+
+            self._apply_cache[key] = run
+        return self._apply_cache[key]
+
+    def _pad_bucket(self, audio: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        t = audio.shape[-1]
+        bucket = _next_bucket(t, self.hop)
+        x = np.zeros((1, bucket), np.float32)
+        x[0, :t] = audio
+        return jnp.asarray(x), t
+
+    # -- public API ------------------------------------------------------------
+
+    def embed(self, audio_path: Union[str, Path],
+              watermark: Union[WatermarkID, str, int, bytes],
+              output_path: Optional[Union[str, Path]] = None
+              ) -> Tuple[np.ndarray, int, WatermarkID]:
+        """Embed a watermark (reference waveverify/core.py:476-543)."""
+        wm = self._validate_watermark_id(watermark)
+        audio, sr = load_audio(audio_path, self.sample_rate)
+        x, t = self._pad_bucket(audio)
+        msg = jnp.asarray(message_to_tensor(wm.to_bits()))
+        _, watermarked = self._generator_fn(x.shape[-1])(self.params, x, msg)
+        out = np.asarray(watermarked)[0, :t]
+        if output_path is not None:
+            save_audio(out, output_path, sr)
+        return out, sr, wm
+
+    def detect(self, audio_path: Union[str, Path]
+               ) -> Tuple[WatermarkID, float]:
+        """Detect the embedded watermark (reference waveverify/core.py:545-597)."""
+        audio, _sr = load_audio(audio_path, self.sample_rate)
+        return self.detect_array(audio)
+
+    def detect_array(self, audio: np.ndarray) -> Tuple[WatermarkID, float]:
+        """Detection from an in-memory float32 array (TPU-side extension;
+        the reference only accepts paths)."""
+        x, _t = self._pad_bucket(np.asarray(audio, np.float32).ravel())
+        probs, conf = self._detector_fn(x.shape[-1])(self.params, x)
+        bits = tensor_to_message(np.asarray(probs))
+        return WatermarkID.custom(bits), float(np.asarray(conf)[0])
+
+    def locate(self, audio_path: Union[str, Path]) -> np.ndarray:
+        """Per-sample watermark presence mask
+        (reference waveverify/core.py:599-655)."""
+        audio, _sr = load_audio(audio_path, self.sample_rate)
+        return self.locate_array(audio)
+
+    def locate_array(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.asarray(audio, np.float32).ravel()
+        x, t = self._pad_bucket(audio)
+        mask = np.asarray(self._locator_fn(x.shape[-1])(self.params, x))[0]
+        # the locator is sample-resolution already; trimming the bucket pad
+        # IS the reference's interpolate-to-input-length (core.py:637-644)
+        return mask[:t]
+
+    def verify(self, audio_path: Union[str, Path],
+               expected_watermark: Union[WatermarkID, str, int, bytes]) -> bool:
+        """Bit-exact watermark verification (reference waveverify/core.py:657-701)."""
+        expected = self._validate_watermark_id(expected_watermark)
+        detected, _conf = self.detect(audio_path)
+        return detected.to_bits() == expected.to_bits()
+
+    # -- batched serving (TPU extension) ----------------------------------------
+
+    def embed_batch(self, audio: np.ndarray, bits: np.ndarray) -> np.ndarray:
+        """audio [B, T] float32, bits [B, 16] float32 -> watermarked [B, T].
+        One jitted call; shard over a data mesh for multi-chip serving."""
+        x = jnp.asarray(audio, jnp.float32)
+        _, watermarked = self._generator_fn(x.shape[-1])(
+            self.params, x, jnp.asarray(bits, jnp.float32)
+        )
+        return np.asarray(watermarked)
+
+    def detect_batch(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [B, T] -> (bits [B, 16] int, confidence [B])."""
+        x = jnp.asarray(audio, jnp.float32)
+        probs, conf = self._detector_fn(x.shape[-1])(self.params, x)
+        return (np.asarray(probs) > 0.5).astype(int), np.asarray(conf)
+
+    # -- helpers ---------------------------------------------------------------
+
+    @staticmethod
+    def _validate_watermark_id(
+        watermark: Union[WatermarkID, str, int, bytes]
+    ) -> WatermarkID:
+        """reference waveverify/core.py:703-729."""
+        if isinstance(watermark, WatermarkID):
+            return watermark
+        return WatermarkID.custom(watermark)

@@ -1,0 +1,88 @@
+"""Mesh construction and sharding rules.
+
+Data parallelism is the production configuration (SURVEY.md §2.7): the
+models total ~10 M params so parameters and optimizer state are replicated
+and only the batch is sharded. All collectives (gradient all-reduce) are
+inserted by XLA from the sharding annotations and ride ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (replaces the reference's torch DDP launcher +
+    LOCAL_RANK check, reference scripts/train.py:2140). No-op when already
+    initialized or when running single-process."""
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data mesh over the first ``n_devices`` (default: all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)} "
+                f"(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"for a virtual CPU mesh)"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_train_step(train_step: Callable, mesh: Mesh,
+                     donate_state: bool = True) -> Callable:
+    """jit the train step over the mesh: state replicated (and donated so
+    params/optimizer state update in place in HBM), batch tensors sharded on
+    the data axis, PRNG key replicated.
+
+    Signature expected: step(state, audio, msg, effect_idx, key).
+    """
+    repl = replicated_sharding(mesh)
+    batch = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch, batch, batch, repl),
+        out_shardings=None,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def shard_batch(mesh: Mesh, *arrays: Any):
+    """Device-put host arrays with the batch sharding (per-host slices in
+    multi-host runs should already be local; this lays them out over ICI)."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out

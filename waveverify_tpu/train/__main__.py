@@ -1,0 +1,57 @@
+"""Training CLI: ``python -m waveverify_tpu.train --config conf/base.yml``.
+
+Replaces the reference's argbind entry point
+(``python scripts/train.py --args.load conf/base.yml``, reference
+scripts/train.py:2121-2159) with a plain argparse CLI over the typed config.
+The YAML schema is the reference's conf/base.yml (both nested and flat keys).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Train waveverify_tpu")
+    ap.add_argument("--config", default=None,
+                    help="reference-format YAML (conf/base.yml schema)")
+    ap.add_argument("--train-folders", nargs="*", default=[],
+                    help="folders of training WAVs (synthetic if empty)")
+    ap.add_argument("--val-folders", nargs="*", default=[])
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--num-devices", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log-file", default="train_log.jsonl")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    from waveverify_tpu.config import load_config
+    from waveverify_tpu.parallel import initialize_distributed
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    initialize_distributed()
+
+    overrides = {}
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    cfg = load_config(args.config, overrides or None)
+    trainer = TrainerConfig(
+        train_folders=tuple(args.train_folders),
+        val_folders=tuple(args.val_folders),
+        ckpt_dir=args.ckpt_dir,
+        log_file=args.log_file,
+        num_devices=args.num_devices,
+    )
+    train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Orbax checkpointing with the reference's tag layout.
+
+The reference writes atomic single-file .pth checkpoints tagged
+``latest`` / ``best`` / ``{N}k`` containing models + optimizers + schedulers
++ tracker + config (reference scripts/train.py:1589-1717). Here each tag is
+an orbax PyTree checkpoint directory (orbax writes to a tmp dir and renames
+— same atomicity) holding the full :class:`TrainState`, plus a sidecar JSON
+with host state (effect-scheduler, step, config snapshot).
+
+Layout:
+    <ckpt_dir>/latest/   state/   meta.json
+    <ckpt_dir>/best/     ...
+    <ckpt_dir>/100k/     ...
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:  # orbax is baked into the image; guard anyway for minimal installs
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _np_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(ckpt_dir: str, tag: str, state: Any,
+                    host_state: Optional[Dict[str, Any]] = None) -> Path:
+    """Atomically save ``state`` (a TrainState pytree) under ``tag``."""
+    root = Path(ckpt_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    target = root / tag
+    state_np = _np_tree(state)
+
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        tmp = root / f".tmp_{tag}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        ckptr.save((tmp / "state").resolve(), state_np)
+        (tmp / "meta.json").write_text(json.dumps(host_state or {}, default=str))
+        if target.exists():
+            shutil.rmtree(target)
+        tmp.rename(target)
+    else:  # pragma: no cover - fallback: npz of flattened leaves
+        target.mkdir(parents=True, exist_ok=True)
+        leaves, treedef = jax.tree_util.tree_flatten(state_np)
+        np.savez(target / "state.npz", *leaves)
+        (target / "meta.json").write_text(json.dumps(host_state or {}, default=str))
+    return target
+
+
+def load_checkpoint(ckpt_dir: str, tag: str, target_state: Any
+                    ) -> tuple[Any, Dict[str, Any]]:
+    """Restore a TrainState saved by :func:`save_checkpoint`.
+
+    ``target_state`` supplies the pytree structure/dtypes (create it with
+    ``create_train_state`` first — the reference does the same via
+    ``load_state_dict``).
+    """
+    path = Path(ckpt_dir) / tag
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    meta: Dict[str, Any] = {}
+    meta_file = path / "meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+
+    if _HAVE_ORBAX and (path / "state").exists():
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(
+            (path / "state").resolve(), item=_np_tree(target_state)
+        )
+    else:  # pragma: no cover
+        data = np.load(path / "state.npz")
+        leaves = [data[k] for k in data.files]
+        treedef = jax.tree_util.tree_structure(target_state)
+        restored = jax.tree_util.tree_unflatten(treedef, leaves)
+    return restored, meta
+
+
+def checkpoint_tags(ckpt_dir: str) -> list[str]:
+    root = Path(ckpt_dir)
+    if not root.exists():
+        return []
+    return sorted(
+        p.name for p in root.iterdir()
+        if p.is_dir() and not p.name.startswith(".tmp")
+    )

@@ -1,0 +1,217 @@
+"""Outer training loop: host scheduler feedback, logging, checkpoints.
+
+The reference's train() (scripts/train.py:1899-2015) drives: data batch ->
+train_loop -> periodic validate/save_samples/checkpoint. This loop keeps the
+same cadence and host responsibilities but the entire step is ONE jitted XLA
+program; the only host work per step is (a) the next batch, (b) effect
+selection (integer indices), (c) scheduler EMA updates from the per-sample
+metrics the step returns.
+
+Async by design: metrics are fetched with a one-step delay so the scheduler
+update for step N happens while step N+1 runs on device.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from waveverify_tpu.config import TrainConfig
+from waveverify_tpu.effects.effects import EffectBank
+from waveverify_tpu.effects.scheduler import EffectScheduler
+from waveverify_tpu.parallel import make_mesh, shard_batch, shard_train_step
+from waveverify_tpu.train import checkpoint as ckpt
+from waveverify_tpu.train.data import (
+    AudioFolderDataset,
+    SyntheticAudioDataset,
+    generate_random_message,
+    prefetch_batches,
+)
+from waveverify_tpu.train.state import TrainState, create_train_state
+from waveverify_tpu.train.step import make_train_step, make_val_step
+from waveverify_tpu.train.watermarking import WatermarkModels
+
+logger = logging.getLogger(__name__)
+
+
+class Tracker:
+    """Minimal stand-in for audiotools' Tracker (reference scripts/train.py:
+    1975-1988): step timing, metric EMA, history to JSONL, best tracking."""
+
+    def __init__(self, log_file: Optional[str] = None, ema: float = 0.99):
+        self.ema = ema
+        self.smoothed: Dict[str, float] = {}
+        self.best_val_loss = float("inf")
+        self.log_file = Path(log_file) if log_file else None
+        self._t_last = time.perf_counter()
+
+    def update(self, step: int, metrics: Dict[str, float]) -> Dict[str, float]:
+        now = time.perf_counter()
+        metrics = dict(metrics, step_time=now - self._t_last)
+        self._t_last = now
+        for k, v in metrics.items():
+            if not np.isscalar(v) and getattr(v, "ndim", 1) != 0:
+                continue
+            v = float(v)
+            self.smoothed[k] = (
+                v if k not in self.smoothed
+                else self.ema * self.smoothed[k] + (1 - self.ema) * v
+            )
+        if self.log_file:
+            with self.log_file.open("a") as f:
+                f.write(json.dumps(
+                    {"step": step, **{k: float(v) for k, v in metrics.items()
+                                      if np.isscalar(v) or getattr(v, "ndim", 1) == 0}}
+                ) + "\n")
+        return metrics
+
+    def is_best(self, val_loss: float) -> bool:
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            return True
+        return False
+
+
+@dataclass
+class TrainerConfig:
+    """Host-side loop knobs, separate from the model/optim TrainConfig."""
+
+    train_folders: Tuple[str, ...] = ()
+    val_folders: Tuple[str, ...] = ()
+    ckpt_dir: str = "checkpoints"
+    log_file: Optional[str] = "train_log.jsonl"
+    save_iters: Tuple[int, ...] = (100000, 200000, 400000, 600000)
+    num_devices: Optional[int] = None
+    log_every: int = 50
+    match_reference_effect_cap: bool = False
+
+
+def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
+          max_steps: Optional[int] = None,
+          resume: bool = False) -> TrainState:
+    """Full training run. Returns the final TrainState."""
+    mesh = make_mesh(trainer.num_devices)
+    n_dev = mesh.devices.size
+    if cfg.batch_size % n_dev:
+        raise ValueError(f"batch_size {cfg.batch_size} must divide over "
+                         f"{n_dev} devices")
+    models = WatermarkModels.from_config(cfg)
+    bank = EffectBank.default_train_bank(cfg.generator.sample_rate)
+    scheduler = EffectScheduler(rng=np.random.RandomState(cfg.seed + 1))
+    tracker = Tracker(trainer.log_file)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(cfg, key, models)
+    start_step = 0
+    if resume and "latest" in ckpt.checkpoint_tags(trainer.ckpt_dir):
+        state, meta = ckpt.load_checkpoint(trainer.ckpt_dir, "latest", state)
+        start_step = int(meta.get("step", 0))
+        if meta.get("scheduler_state"):
+            scheduler.load_state_dict(meta["scheduler_state"])
+        tracker.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        logger.info("resumed from step %d", start_step)
+
+    step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh)
+    val_fn = jax.jit(make_val_step(models, cfg))
+
+    if trainer.train_folders:
+        train_ds = AudioFolderDataset(trainer.train_folders, cfg.train_duration,
+                                      cfg.generator.sample_rate, cfg.seed)
+    else:
+        logger.warning("no train folders given — using synthetic audio")
+        train_ds = SyntheticAudioDataset(cfg.train_duration,
+                                         cfg.generator.sample_rate, cfg.seed)
+    if trainer.val_folders:
+        val_ds = AudioFolderDataset(trainer.val_folders, cfg.val_duration,
+                                    cfg.generator.sample_rate, cfg.seed + 7)
+    else:
+        val_ds = SyntheticAudioDataset(cfg.val_duration,
+                                       cfg.generator.sample_rate, cfg.seed + 7)
+
+    batches = prefetch_batches(train_ds, cfg.batch_size,
+                               cfg.generator.msg_dimension, cfg.seed)
+    total = max_steps if max_steps is not None else cfg.num_iters
+
+    pending: Optional[Tuple[Dict[str, Any], List[Tuple[str, Dict]]]] = None
+    val_rng = np.random.RandomState(cfg.seed + 13)
+
+    for step in range(start_step, total):
+        audio, msg = next(batches)
+        idx, selections = scheduler.select_bank_indices(
+            cfg.batch_size, bank.specs,
+            match_reference_cap=trainer.match_reference_effect_cap,
+        )
+        audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
+        state, metrics = step_fn(state, audio_d, msg_d, idx_d, key)
+
+        # scheduler feedback, one step delayed (device still busy with N+1)
+        if pending is not None:
+            _feed_scheduler(scheduler, *pending)
+        pending = (
+            {"ber": metrics["per_sample_ber"], "miou": metrics["per_sample_miou"]},
+            selections,
+        )
+
+        if step % trainer.log_every == 0:
+            host = {k: float(np.asarray(v)) for k, v in metrics.items()
+                    if np.asarray(v).ndim == 0}
+            tracker.update(step, host)
+            logger.info(
+                "step %d loss %.4f dec %.4f loc %.4f ber %.4f miou %.4f",
+                step, host.get("loss", float("nan")),
+                host.get("dec/loss", float("nan")),
+                host.get("loc/loss", float("nan")),
+                host.get("train/ber", float("nan")),
+                host.get("train/miou", float("nan")),
+            )
+
+        if (step + 1) % cfg.valid_freq == 0 or step + 1 == total:
+            vaudio = val_ds.batch(cfg.val_batch_size)
+            vmsg = generate_random_message(val_rng, cfg.val_batch_size,
+                                           cfg.generator.msg_dimension)
+            vkey = jax.random.fold_in(key, 1_000_000 + step)
+            vmetrics = {k: float(np.asarray(v)) for k, v in
+                        val_fn(state, vaudio, vmsg, vkey).items()}
+            tracker.update(step, vmetrics)
+            logger.info("val @%d: %s", step + 1,
+                        {k: round(v, 4) for k, v in vmetrics.items()
+                         if "/" not in k or k.count("/") == 1})
+            host_state = {
+                "step": step + 1,
+                "scheduler_state": scheduler.state_dict(),
+                "best_val_loss": tracker.best_val_loss,
+            }
+            ckpt.save_checkpoint(trainer.ckpt_dir, "latest", state, host_state)
+            if tracker.is_best(vmetrics.get("val/loss", float("inf"))):
+                host_state["best_val_loss"] = tracker.best_val_loss
+                ckpt.save_checkpoint(trainer.ckpt_dir, "best", state, host_state)
+            if (step + 1) in trainer.save_iters:
+                ckpt.save_checkpoint(trainer.ckpt_dir,
+                                     f"{(step + 1) // 1000}k", state, host_state)
+
+    if pending is not None:
+        _feed_scheduler(scheduler, *pending)
+    return state
+
+
+def _feed_scheduler(scheduler: EffectScheduler, metrics: Dict[str, Any],
+                    selections: List[Tuple[str, Dict]]) -> None:
+    """Per-sample BER/mIoU -> scheduler EMA (reference
+    model/watermarking.py:697-753, one update per sample)."""
+    bers = np.asarray(metrics["ber"])
+    mious = np.asarray(metrics["miou"])
+    for i, (name, params) in enumerate(selections):
+        if i >= len(bers):
+            break
+        scheduler.update_effect_metrics(
+            name, params,
+            float(np.clip(bers[i], 0.0, 1.0)),
+            float(np.clip(mious[i], 0.0, 1.0)),
+        )

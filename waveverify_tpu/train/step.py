@@ -1,0 +1,242 @@
+"""Jitted train / validation steps — one XLA program each.
+
+Reference semantics reproduced exactly (scripts/train.py:1248-1480):
+
+1. ONE composite forward (generator -> augment -> effects -> detector /
+   locator).
+2. Discriminator update first, on the *raw generator output* ("recons" —
+   the reference passes ``recons``, not the watermarked sum, to
+   ``_update_discriminator``; scripts/train.py:1464) vs the clean signal,
+   with the fake detached, LSGAN + WGAN-GP, grads clipped at 10.
+3. Generator update second: its adversarial term sees the *freshly updated*
+   discriminator (the reference steps optimizer_d before computing
+   generator_loss). Six weighted losses; only the generator subtree's grads
+   are clipped (scripts/train.py:1351) though the optimizer also steps
+   detector + locator.
+
+The single-forward + exact-ordering combination is achieved with
+``jax.vjp``: the forward runs once, the discriminator is updated from its
+detached outputs, the generator losses are differentiated w.r.t. the forward
+*outputs*, and the cotangents are pulled back through the saved vjp. No
+second forward, no host sync.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from waveverify_tpu.config import TrainConfig
+from waveverify_tpu.effects.effects import EffectBank
+from waveverify_tpu.losses import (
+    discriminator_loss,
+    generator_loss,
+    l1_loss,
+    localization_loss,
+    decoding_loss,
+    mel_spectrogram_loss,
+    multi_scale_stft_loss,
+)
+from waveverify_tpu.metrics import ber, miou, sisnr
+from waveverify_tpu.train.state import (
+    TrainState,
+    clip_by_global_norm,
+    make_optimizers,
+)
+from waveverify_tpu.train.watermarking import (
+    WatermarkModels,
+    forward_train,
+    forward_valid,
+)
+
+MAX_GRADIENT_NORM = 10.0  # reference scripts/train.py MAX_GRADIENT_NORM
+
+
+def make_train_step(
+    models: WatermarkModels,
+    cfg: TrainConfig,
+    bank: EffectBank,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+              Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the (un-jitted) train step; callers jit/pjit it with their mesh.
+
+    step(state, audio [B,T], msg [B,nbits], effect_idx [B] int32, key)
+      -> (state', metrics dict incl. per-sample ber/miou for the scheduler).
+    """
+    wm_tx, disc_tx = make_optimizers(cfg.optim)
+    loss_cfg = cfg.loss
+    sr = cfg.generator.sample_rate
+
+    def disc_apply_fn(params):
+        return lambda x: models.apply_discriminator(params, x)
+
+    def train_step(state: TrainState, audio: jnp.ndarray, msg: jnp.ndarray,
+                   effect_idx: jnp.ndarray, key: jnp.ndarray
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        k_fwd, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
+
+        # ---- 1. single composite forward, vjp saved -----------------------
+        def fwd(wm_params):
+            return forward_train(
+                models, wm_params, k_fwd, audio, msg, effect_idx, bank,
+                sample_rate=sr, window_duration=cfg.window_duration,
+            )
+
+        outs, fwd_vjp = jax.vjp(fwd, state.wm_params)
+
+        # ---- 2. discriminator update (fake = detached raw generator out) --
+        fake = jax.lax.stop_gradient(outs["residual"])
+
+        def d_loss_fn(dp):
+            return discriminator_loss(
+                disc_apply_fn(dp), fake, audio, key=k_gp,
+                gp_weight=loss_cfg.gp_weight,
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_grads, d_grad_norm = clip_by_global_norm(d_grads, MAX_GRADIENT_NORM)
+        d_updates, disc_opt_state = disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- 3. generator losses vs the UPDATED discriminator -------------
+        new_disc_apply = disc_apply_fn(disc_params)
+
+        def g_loss_fn(fwd_outs):
+            w = fwd_outs["watermarked"]
+            logs: Dict[str, jnp.ndarray] = {}
+            logs["stft/loss"] = multi_scale_stft_loss(
+                w, audio, window_lengths=loss_cfg.stft_window_lengths
+            )
+            logs["mel/loss"] = mel_spectrogram_loss(
+                w, audio, sample_rate=sr,
+                n_mels=loss_cfg.mel_n_mels,
+                window_lengths=loss_cfg.mel_window_lengths,
+                clamp_eps=loss_cfg.mel_clamp_eps,
+                mag_weight=loss_cfg.mel_mag_weight,
+                pow=loss_cfg.mel_pow,
+            )
+            logs["waveform/loss"] = l1_loss(w, audio)
+            adv_gen, adv_feat = generator_loss(new_disc_apply, w, audio)
+            logs["adv/gen_loss"] = adv_gen
+            logs["adv/feat_loss"] = adv_feat  # logged, weight 0 (base.yml quirk)
+            logs["dec/loss"] = decoding_loss(
+                fwd_outs["detector_logits"], fwd_outs["mask"], msg
+            )
+            logs["loc/loss"] = localization_loss(
+                fwd_outs["locator_logits"], fwd_outs["mask"]
+            )
+            total = (
+                loss_cfg.lambda_stft * logs["stft/loss"]
+                + loss_cfg.lambda_mel * logs["mel/loss"]
+                + loss_cfg.lambda_waveform * logs["waveform/loss"]
+                + loss_cfg.lambda_adv_gen * logs["adv/gen_loss"]
+                + loss_cfg.lambda_dec * logs["dec/loss"]
+                + loss_cfg.lambda_loc * logs["loc/loss"]
+            )
+            logs["loss"] = total
+            return total, logs
+
+        (_, logs), out_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(outs)
+        (wm_grads,) = fwd_vjp(out_grads)
+
+        # clip the generator subtree only (reference scripts/train.py:1351)
+        gen_clipped, g_grad_norm = clip_by_global_norm(
+            wm_grads["generator"], MAX_GRADIENT_NORM
+        )
+        wm_grads = dict(wm_grads, generator=gen_clipped)
+        wm_updates, wm_opt_state = wm_tx.update(
+            wm_grads, state.wm_opt_state, state.wm_params
+        )
+        wm_params = optax.apply_updates(state.wm_params, wm_updates)
+
+        # ---- 4. per-sample feedback for the host-side effect scheduler ----
+        per_sample_ber = ber(
+            outs["detector_logits"], msg, outs["mask"], per_sample=True
+        )
+        per_sample_miou = miou(
+            jax.nn.sigmoid(outs["locator_logits"]), outs["mask"],
+            per_sample=True,
+        )
+
+        metrics = {
+            **logs,
+            "adv/disc_loss": d_loss,
+            "grad_norm/generator": g_grad_norm,
+            "grad_norm/discriminator": d_grad_norm,
+            "train/ber": jnp.mean(per_sample_ber),
+            "train/miou": jnp.mean(per_sample_miou),
+            "per_sample_ber": per_sample_ber,
+            "per_sample_miou": per_sample_miou,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            wm_params=wm_params,
+            disc_params=disc_params,
+            wm_opt_state=wm_opt_state,
+            disc_opt_state=disc_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_val_step(
+    models: WatermarkModels,
+    cfg: TrainConfig,
+    eval_effects=None,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+              Dict[str, jnp.ndarray]]:
+    """Validation step (reference scripts/train.py:1094-1193): reconstruction
+    losses + per-effect BER/MIoU over the fixed EVAL_EFFECTS sweep. Returns
+    scalars only (the heavy tensors stay on device)."""
+    loss_cfg = cfg.loss
+    sr = cfg.generator.sample_rate
+
+    def val_step(state: TrainState, audio: jnp.ndarray, msg: jnp.ndarray,
+                 key: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        out = forward_valid(
+            models, state.wm_params, key, audio, msg,
+            eval_effects=eval_effects, sample_rate=sr,
+        )
+        w = out["watermarked"]
+        metrics: Dict[str, jnp.ndarray] = {
+            "val/stft_loss": multi_scale_stft_loss(
+                w, audio, window_lengths=loss_cfg.stft_window_lengths
+            ),
+            "val/mel_loss": mel_spectrogram_loss(
+                w, audio, sample_rate=sr,
+                n_mels=loss_cfg.mel_n_mels,
+                window_lengths=loss_cfg.mel_window_lengths,
+                clamp_eps=loss_cfg.mel_clamp_eps,
+                mag_weight=loss_cfg.mel_mag_weight,
+                pow=loss_cfg.mel_pow,
+            ),
+            "val/waveform_loss": l1_loss(w, audio),
+            "val/sisnr": sisnr(w, audio),
+        }
+        total_ber = 0.0
+        total_miou = 0.0
+        for name, res in out["effects"].items():
+            metrics[f"val/ber/{name}"] = res["ber"]
+            metrics[f"val/miou/{name}"] = res["miou"]
+            total_ber += res["ber"]
+            total_miou += res["miou"]
+        n = max(len(out["effects"]), 1)
+        metrics["val/ber"] = total_ber / n
+        metrics["val/miou"] = total_miou / n
+        # "Total Loss" the reference tracker uses for `best` tagging
+        # (scripts/train.py:1707-1714).
+        metrics["val/loss"] = (
+            loss_cfg.lambda_stft * metrics["val/stft_loss"]
+            + loss_cfg.lambda_mel * metrics["val/mel_loss"]
+            + loss_cfg.lambda_waveform * metrics["val/waveform_loss"]
+        )
+        return metrics
+
+    return val_step

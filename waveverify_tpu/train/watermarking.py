@@ -1,0 +1,192 @@
+"""Composite watermarking forward passes (train / valid / audio_sample).
+
+Pure-function equivalent of the reference's stateful ``AudioWatermarking``
+module (reference model/watermarking.py:186-808). The dependency inversion
+the reference has (the *model* owning augmenters, metrics, and the effect
+scheduler) is fixed: models are pure ``params, x -> y``; augmentation and
+attack simulation live here in the training layer; the adaptive scheduler
+stays host-side (see train/loop.py).
+
+Everything in this file traces into a single XLA program: the reference's
+per-step GPU->CPU effects round trip (reference model/watermarking.py:540-544)
+does not exist here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from waveverify_tpu.config import TrainConfig
+from waveverify_tpu.effects.augment import (
+    localization_augmentation,
+    sequence_augmentation,
+)
+from waveverify_tpu.effects.effects import (
+    DEFAULT_EVAL_EFFECTS,
+    AudioEffects,
+    EffectBank,
+)
+from waveverify_tpu.metrics import ber, miou
+from waveverify_tpu.models import Detector, Discriminator, Generator, Locator
+
+
+@dataclass(frozen=True)
+class WatermarkModels:
+    """Static bundle of the four model definitions (no parameters).
+
+    Mirrors the reference composite's members (reference
+    model/watermarking.py:211-253) minus all the state it wrongly owned.
+    """
+
+    generator: Generator
+    detector: Detector
+    locator: Locator
+    discriminator: Discriminator
+
+    @classmethod
+    def from_config(cls, cfg: TrainConfig) -> "WatermarkModels":
+        return cls(
+            generator=Generator(config=cfg.generator),
+            detector=Detector(config=cfg.detector),
+            locator=Locator(config=cfg.locator),
+            discriminator=Discriminator(config=cfg.discriminator),
+        )
+
+    # -- parameter-pytree application helpers --------------------------------
+
+    def apply_generator(self, params, audio: jnp.ndarray, msg: jnp.ndarray):
+        """audio [B, T] -> watermark residual [B, T]."""
+        out = self.generator.apply({"params": params}, audio[..., None], msg)
+        return out[..., 0]
+
+    def apply_detector(self, params, audio: jnp.ndarray) -> jnp.ndarray:
+        """audio [B, T] -> bit logits [B, T, nbits]."""
+        return self.detector.apply({"params": params}, audio[..., None])
+
+    def apply_locator(self, params, audio: jnp.ndarray) -> jnp.ndarray:
+        """audio [B, T] -> presence logits [B, T]."""
+        return self.locator.apply({"params": params}, audio[..., None])[..., 0]
+
+    def apply_discriminator(self, params, audio: jnp.ndarray):
+        """audio [B, T] -> List[List[feature map]]."""
+        return self.discriminator.apply({"params": params}, audio[..., None])
+
+
+def forward_train(
+    models: WatermarkModels,
+    wm_params: Dict[str, Any],
+    key: jnp.ndarray,
+    audio: jnp.ndarray,
+    msg: jnp.ndarray,
+    effect_idx: jnp.ndarray,
+    bank: EffectBank,
+    sample_rate: int = 16000,
+    window_duration: float = 0.1,
+) -> Dict[str, jnp.ndarray]:
+    """Training-phase forward (reference model/watermarking.py:340-421).
+
+    audio [B, T] float32, msg [B, nbits] float32 in {0, 1}, effect_idx [B]
+    int32 branch indices into ``bank`` (host-selected by the scheduler).
+
+    Returns a dict of differentiable outputs:
+      residual      [B, T]  raw generator output ("reconstructed" in the
+                            reference — what the discriminator trains on)
+      watermarked   [B, T]  residual + audio
+      mask          [B, T]  ground-truth presence (1 = watermarked)
+      detector_logits [B, T, nbits]
+      locator_logits  [B, T]
+      updated_original [B, T]
+    """
+    k_loc, k_seq, k_fx = jax.random.split(key, 3)
+
+    residual = models.apply_generator(wm_params["generator"], audio, msg)
+    watermarked = residual + audio
+
+    # ~20% of 0.1 s segments reverted / zeroed / cross-substituted, building
+    # the ground-truth mask (reference utils/localization_augmentation.py).
+    augmented, mask, updated_original = localization_augmentation(
+        k_loc, audio, watermarked, sample_rate, window_duration
+    )
+    # One whole-batch temporal transform (reverse / shift / shuffle).
+    augmented, updated_original, mask = sequence_augmentation(
+        k_seq, augmented, updated_original, mask, sample_rate
+    )
+
+    # On-device attack simulation, per-sample heterogeneous dispatch.
+    fx_audio, mask = bank.apply(augmented, mask, effect_idx, k_fx)
+
+    detector_logits = models.apply_detector(wm_params["detector"], fx_audio)
+    locator_logits = models.apply_locator(wm_params["locator"], fx_audio)
+
+    return {
+        "residual": residual,
+        "watermarked": watermarked,
+        "mask": mask,
+        "detector_logits": detector_logits,
+        "locator_logits": locator_logits,
+        "updated_original": updated_original,
+    }
+
+
+def forward_audio_sample(
+    models: WatermarkModels,
+    wm_params: Dict[str, Any],
+    audio: jnp.ndarray,
+    msg: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """audio_sample phase: no augmentation, no grad
+    (reference model/watermarking.py:423-441). Returns (residual, watermarked).
+    """
+    residual = models.apply_generator(wm_params["generator"], audio, msg)
+    return residual, residual + audio
+
+
+def forward_valid(
+    models: WatermarkModels,
+    wm_params: Dict[str, Any],
+    key: jnp.ndarray,
+    audio: jnp.ndarray,
+    msg: jnp.ndarray,
+    eval_effects: Optional[List[Tuple[str, Dict]]] = None,
+    sample_rate: int = 16000,
+) -> Dict[str, Any]:
+    """Validation phase: fixed effect sweep on the fully-watermarked signal
+    (reference model/watermarking.py:443-483, :755-808).
+
+    For each eval effect: apply to the watermarked audio (mask = all ones),
+    detect + locate, compute BER and MIoU. Returns
+    ``{"watermarked", "residual", "effects": {name: {...}}}``.
+    """
+    if eval_effects is None:
+        eval_effects = DEFAULT_EVAL_EFFECTS
+
+    residual = models.apply_generator(wm_params["generator"], audio, msg)
+    watermarked = residual + audio
+    full_mask = jnp.ones_like(audio)
+
+    results: Dict[str, Any] = {}
+    for i, (name, params) in enumerate(eval_effects):
+        key, sub = jax.random.split(key)
+        fn = getattr(AudioEffects, name)
+        fx, mask = fn(watermarked, full_mask, sub,
+                      sample_rate=sample_rate, **params)
+        mask = full_mask if mask is None else mask
+        det = models.apply_detector(wm_params["detector"], fx)
+        loc = models.apply_locator(wm_params["locator"], fx)
+        tag = name if name not in results else f"{name}_{i}"
+        results[tag] = {
+            "ber": ber(det, msg, mask),
+            "miou": miou(jax.nn.sigmoid(loc), mask),
+            "detector_logits": det,
+            "locator_logits": loc,
+            "mask": mask,
+        }
+    return {
+        "residual": residual,
+        "watermarked": watermarked,
+        "effects": results,
+    }
