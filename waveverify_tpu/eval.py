@@ -1,0 +1,194 @@
+"""Robustness evaluation sweep: ``python -m waveverify_tpu.eval``.
+
+Covers the reference's evaluation surface (reference scripts/evaluate.py +
+the README results tables): embed a random 16-bit message into each clip,
+attack the watermarked audio with each effect (single or chained), then
+report BER, detection accuracy (TPR at threshold 0.5 on the mean bit
+confidence), FPR on clean audio, and localization MIoU against the
+ground-truth presence mask built from spliced clean/watermarked segments.
+
+One jitted program per (effect, length) — the whole sweep stays on device;
+only scalar metrics come back per batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# README.md robustness tables (reference README.md:194-208): single effects
+EVAL_SINGLE = [
+    ("identity", {}),
+    ("resample", {"new_sample_rate": 8000}),
+    ("resample", {"new_sample_rate": 32000}),
+    ("speed", {"speed": 0.8}),
+    ("highpass_filter", {"cutoff_freq": 3500}),
+    ("lowpass_filter", {"cutoff_freq": 2000}),
+    ("bandpass_filter", {"cutoff_freq_low": 300, "cutoff_freq_high": 4000}),
+    ("random_noise", {"noise_std": 0.001}),
+]
+# combined effects (reference README.md:204-208)
+EVAL_COMBINED = [
+    [("highpass_filter", {"cutoff_freq": 3500}),
+     ("random_noise", {"noise_std": 0.001})],
+    [("lowpass_filter", {"cutoff_freq": 2000}), ("speed", {"speed": 0.8})],
+    [("bandpass_filter", {"cutoff_freq_low": 300, "cutoff_freq_high": 4000}),
+     ("resample", {"new_sample_rate": 32000})],
+]
+
+
+def _effect_tag(chain: Sequence[Tuple[str, Dict]]) -> str:
+    parts = []
+    for name, params in chain:
+        arg = ",".join(f"{v}" for v in params.values())
+        parts.append(f"{name}({arg})" if arg else name)
+    return " + ".join(parts)
+
+
+def run_sweep(
+    wv,
+    audio: np.ndarray,
+    seed: int = 0,
+    effects: Optional[List[List[Tuple[str, Dict]]]] = None,
+    splice_fraction: float = 0.2,
+) -> Dict[str, Dict[str, float]]:
+    """audio [B, T] clean clips -> {effect_tag: {ber, tpr, fpr, miou, conf}}.
+
+    Localization protocol: after watermarking, a contiguous
+    ``splice_fraction`` span of each clip is reverted to the clean signal
+    (the reference's localization augmentation in its simplest form); MIoU
+    scores the locator's mask against that ground truth after each attack.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from waveverify_tpu.effects.effects import AudioEffects
+    from waveverify_tpu.metrics import ber as ber_fn, miou as miou_fn
+
+    if effects is None:
+        effects = [[e] for e in EVAL_SINGLE] + [list(c) for c in EVAL_COMBINED]
+
+    models, params = wv.models, wv.params
+    b, t = audio.shape
+    rng = np.random.RandomState(seed)
+    bits = rng.randint(0, 2, (b, 16)).astype(np.float32)
+
+    # ground-truth presence mask: splice a clean span back in
+    mask = np.ones((b, t), np.float32)
+    span = int(t * splice_fraction)
+    starts = rng.randint(0, max(t - span, 1), b)
+    for i, s in enumerate(starts):
+        mask[i, s : s + span] = 0.0
+
+    @jax.jit
+    def prepare(params, clean, bits, mask):
+        residual = models.apply_generator(params["generator"],
+                                          clean, bits)
+        wm = residual + clean
+        spliced = jnp.where(mask > 0.5, wm, clean)
+        return spliced
+
+    def make_attack_fn(chain):
+        @jax.jit
+        def attack(params, spliced, clean, bits, mask, key):
+            x, m = spliced, mask
+            for i, (name, eff_params) in enumerate(chain):
+                sub = jax.random.fold_in(key, i)
+                fn = getattr(AudioEffects, name)
+                x, m = fn(x, m, sub, sample_rate=wv.sample_rate, **eff_params)
+                m = mask if m is None else m
+            det = models.apply_detector(params["detector"], x)
+            loc = models.apply_locator(params["locator"], x)
+            bit_probs = jnp.mean(jax.nn.sigmoid(det), axis=1)  # [B, 16]
+            detected = jnp.mean(bit_probs > 0.5, axis=1)  # placeholder
+            sample_ber = ber_fn(det, bits, m, per_sample=True)
+            sample_miou = miou_fn(jax.nn.sigmoid(loc), m, per_sample=True)
+            confidence = jnp.mean(jax.nn.sigmoid(det), axis=(1, 2))
+            # clean-audio confidence for FPR
+            det_clean = models.apply_detector(params["detector"], clean)
+            probs_clean = jnp.mean(jax.nn.sigmoid(det_clean), axis=1)
+            return sample_ber, sample_miou, confidence, bit_probs, probs_clean
+        return attack
+
+    spliced = prepare(params, jnp.asarray(audio), jnp.asarray(bits),
+                      jnp.asarray(mask))
+
+    results: Dict[str, Dict[str, float]] = {}
+    key = jax.random.PRNGKey(seed)
+    for chain in effects:
+        tag = _effect_tag(chain)
+        key, sub = jax.random.split(key)
+        sample_ber, sample_miou, conf, bit_probs, probs_clean = (
+            make_attack_fn(chain)(params, spliced, jnp.asarray(audio),
+                                  jnp.asarray(bits), jnp.asarray(mask), sub)
+        )
+        bit_probs = np.asarray(bit_probs)
+        decoded = (bit_probs > 0.5).astype(np.float32)
+        exact = (decoded == bits).all(axis=1)  # full-message recovery
+        # clean-audio false positives: clean decodes to the embedded message
+        clean_dec = (np.asarray(probs_clean) > 0.5).astype(np.float32)
+        fp = (clean_dec == bits).all(axis=1)
+        results[tag] = {
+            "ber": float(np.mean(np.asarray(sample_ber))),
+            "tpr": float(np.mean(exact)),
+            "fpr": float(np.mean(fp)),
+            "miou": float(np.mean(np.asarray(sample_miou))),
+            "confidence": float(np.mean(np.asarray(conf))),
+        }
+        logger.info("%-40s ber=%.4f tpr=%.3f fpr=%.3f miou=%.4f",
+                    tag, *[results[tag][k] for k in
+                           ("ber", "tpr", "fpr", "miou")])
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="waveverify_tpu robustness sweep")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--audio-folders", nargs="*", default=[],
+                    help="folders of eval WAVs (synthetic if empty)")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--duration", type=float, default=5.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from waveverify_tpu.api.core import WaveVerify
+    from waveverify_tpu.config import load_config
+    from waveverify_tpu.train.data import (
+        AudioFolderDataset,
+        SyntheticAudioDataset,
+    )
+
+    wv = WaveVerify(checkpoint_path=args.checkpoint,
+                    config=load_config(args.config))
+    if args.audio_folders:
+        ds = AudioFolderDataset(args.audio_folders, args.duration,
+                                wv.sample_rate, args.seed)
+    else:
+        logger.warning("no audio folders — using synthetic clips")
+        ds = SyntheticAudioDataset(args.duration, wv.sample_rate, args.seed)
+    audio = ds.batch(args.batch)
+
+    results = run_sweep(wv, audio, seed=args.seed)
+
+    print(f"\n{'effect':<42} {'BER':>7} {'TPR':>6} {'FPR':>6} {'MIoU':>7}")
+    for tag, r in results.items():
+        print(f"{tag:<42} {r['ber']:>7.4f} {r['tpr']:>6.3f} "
+              f"{r['fpr']:>6.3f} {r['miou']:>7.4f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"\nwrote {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,9 +106,13 @@ class Detector(nn.Module):
             audio = audio[..., None]
         original_length = audio.shape[1]
         z = self.encoder(audio, None)
-        up = self.reverse_convolution(z)  # [B, ceil(T/hop)*hop, output_dim]
-        up = up[:, :original_length, :]
-        return self.last_layer(up)  # [B, T, nbits]
+        # ConvTranspose1d(k=stride) -> trim -> 1x1, fused into one matmul
+        # (identical math + params; see fused_upsample_head).
+        from waveverify_tpu.modules.conv import fused_upsample_head
+
+        return fused_upsample_head(
+            self.reverse_convolution, self.last_layer, z, original_length
+        )  # [B, T, nbits]
 
 
 def detector_postprocess(

@@ -86,6 +86,8 @@ class Locator(nn.Module):
             audio = audio[..., None]
         original_length = audio.shape[1]
         z = self.encoder(audio, None)
-        up = self.reverse_convolution(z)
-        up = up[:, :original_length, :]
-        return self.last_layer(up)  # [B, T, 1]
+        from waveverify_tpu.modules.conv import fused_upsample_head
+
+        return fused_upsample_head(
+            self.reverse_convolution, self.last_layer, z, original_length
+        )  # [B, T, 1]

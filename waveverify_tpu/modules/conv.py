@@ -410,10 +410,21 @@ def conv_transpose1d(
     ``w_torch``: (Cin, Cout // groups, K). Output length:
     ``(L - 1) * stride + dilation * (K - 1) + 1``.
 
-    Implemented as input-dilated correlation with the flipped, group-wise
-    channel-transposed kernel — a single fused XLA conv on TPU.
+    Fast path (k % stride == 0, the SEANet/detector geometry): decompose
+    into ``k/stride`` dense matmuls (MXU) with shifted adds — output window
+    position p = t*stride + kappa receives x[t] @ w[:, :, kappa], and
+    kappa = j + m*stride splits into per-m [B, T, stride, Cout] blocks.
+    The generic lhs-dilation conv XLA lowering slides the kernel over a
+    stride-x zero-dilated input (measured 311 ms vs 2 ms for the detector's
+    k=stride=320 head on v5e) and is kept only as the general fallback.
     """
     cin, coutg, k = w_torch.shape
+    # Dense only: the depthwise (groups == cin) decoder upsamplers measure
+    # FASTER through the lhs-dilation conv lowering (22 vs 32 ms/batch32 on
+    # v5e) — the broadcast-multiply decomposition materializes [B,T,s,C]
+    # intermediates the conv path never does.
+    if dilation == 1 and stride > 1 and k % stride == 0 and groups == 1:
+        return _conv_transpose1d_matmul(x, w_torch, stride, groups)
     cing = cin // groups
     # (Cin, Cout/g, K) -> (g, Cin/g, Cout/g, K) -> (K, Cin/g, g, Cout/g)
     w = jnp.flip(w_torch, axis=-1)
@@ -431,6 +442,104 @@ def conv_transpose1d(
         feature_group_count=groups,
         precision=conv_precision(),
     )
+
+
+def _conv_transpose1d_matmul(
+    x: jnp.ndarray, w_torch: jnp.ndarray, stride: int, groups: int
+) -> jnp.ndarray:
+    """k % stride == 0 transposed conv as matmuls + shifted adds.
+
+    out[b, t*s + j + m*s, co] += x[b, t, ci] * w[ci, co', j + m*s]
+    -> per m: y_m = x @ w[:, :, m*s:(m+1)*s] reshaped to [B, T*s, Cout],
+    accumulated at offset m*s. groups == 1 uses one MXU contraction per m;
+    groups == cin (depthwise) is a broadcast multiply on the VPU.
+    """
+    cin, coutg, k = w_torch.shape
+    b, t, _ = x.shape
+    m_terms = k // stride
+    out_len = (t - 1) * stride + k
+    cout = groups * coutg
+
+    terms = []
+    for m in range(m_terms):
+        w_m = w_torch[:, :, m * stride:(m + 1) * stride]
+        if groups == 1:
+            # (Cin, Cout, s) -> (Cin, s, Cout); contract x over Cin on MXU
+            w_p = jnp.transpose(w_m, (0, 2, 1)).reshape(cin, stride * coutg)
+            y = jax.lax.dot_general(
+                x, w_p, (((2,), (0,)), ((), ())), precision=conv_precision()
+            ).reshape(b, t * stride, coutg)
+        else:  # depthwise: out channel == in channel (x coutg)
+            # x [B,T,1,C,1] * w [s, C, coutg] -> [B, T, s, C, coutg]
+            w_p = jnp.transpose(w_m, (2, 0, 1))  # (s, Cin, coutg)
+            y = (x[:, :, None, :, None] * w_p[None, None, :, :, :]).reshape(
+                b, t * stride, cout
+            )
+        terms.append(y)
+
+    if m_terms == 1:  # k == stride: non-overlapping, no accumulation needed
+        return terms[0]
+    # overlapping windows: pad each term to out_len at its offset and sum —
+    # pure adds, no scatter
+    padded = [
+        jnp.pad(y, ((0, 0), (m * stride, out_len - m * stride - t * stride),
+                    (0, 0)))
+        for m, y in enumerate(terms)
+    ]
+    out = padded[0]
+    for y in padded[1:]:
+        out = out + y
+    return out
+
+
+def fused_upsample_head(
+    rc: "NormConvTranspose1d",
+    ll: "NormConv1d",
+    z: jnp.ndarray,
+    original_length: int,
+) -> jnp.ndarray:
+    """Detector/Locator head: ConvTranspose1d(k == stride, norm='none') +
+    trim + 1x1 conv, fused into ONE MXU contraction.
+
+    Both ops are linear, so combining their kernels first
+    (``wc[c, kappa, n] = sum_m w1[c, m, kappa] * w2[m, n]``, a tiny weights-
+    only einsum) turns the head into a single [B, T, Cin] x [Cin, K*Cout]
+    matmul — avoiding the [B, T*K, Cmid] intermediate and its layout change
+    (measured 33 ms -> ~4 ms per batch32 on v5e for the detector head).
+
+    During init the sequential path runs so the parameter tree is identical
+    to the unfused head (same names, shapes, checkpoint compatibility).
+    """
+    if (
+        rc.is_initializing()
+        or rc.norm != "none"
+        or ll.norm != "none"
+        or rc.kernel_size != rc.stride
+        or rc.groups != 1
+        or ll.kernel_size != 1
+    ):
+        up = rc(z)
+        up = up[:, :original_length, :]
+        return ll(up)
+
+    w1 = rc.get_variable("params", "v")  # (Cin, Cmid, K)
+    w2 = ll.get_variable("params", "v")[0]  # (Cmid, Cout)
+    cin, _cmid, k = w1.shape
+    cout = w2.shape[-1]
+    wc = jnp.einsum(
+        "cmk,mn->ckn", w1, w2, precision=conv_precision()
+    ).reshape(cin, k * cout)
+    y = jax.lax.dot_general(
+        z, wc.astype(z.dtype), (((2,), (0,)), ((), ())),
+        precision=conv_precision(),
+    ).reshape(z.shape[0], z.shape[1] * k, cout)
+    bias = jnp.zeros((cout,), z.dtype)
+    if ll.use_bias:
+        bias = bias + ll.get_variable("params", "b").astype(z.dtype)
+    if rc.use_bias:
+        b1 = rc.get_variable("params", "b")
+        bias = bias + (b1 @ w2).astype(z.dtype)
+    return y[:, :original_length, :] + bias
 
 
 class ConvLayerNorm(nn.Module):

@@ -81,15 +81,22 @@ class AudioFolderDataset:
 
     Mirrors the reference AudioDataset semantics that matter: uniform random
     file choice, uniform random offset, zero-pad short files, mono 16 kHz.
+
+    When the native ingest extension builds (waveverify_tpu/native), whole
+    batches are decoded + cropped by a C++ thread pool with the GIL released;
+    files whose sample rate differs from the target fall back to the Python
+    decode+resample path per row.
     """
 
     def __init__(self, folders: Sequence[str], duration: float = 1.0,
                  sample_rate: int = DEFAULT_SAMPLE_RATE,
-                 seed: int = 0, cache_audio: bool = True):
+                 seed: int = 0, cache_audio: bool = True,
+                 use_native: bool = True):
         self.sample_rate = sample_rate
         self.crop_len = int(duration * sample_rate)
         self.rng = np.random.RandomState(seed)
         self.cache_audio = cache_audio
+        self.use_native = use_native
         self._cache: dict = {}
         self.files: List[Path] = []
         for folder in folders:
@@ -125,7 +132,39 @@ class AudioFolderDataset:
         return x[start : start + self.crop_len].astype(np.float32)
 
     def batch(self, batch_size: int) -> np.ndarray:
+        if self.use_native:
+            native = self._native_batch(batch_size)
+            if native is not None:
+                return native
         return np.stack([self.sample_crop() for _ in range(batch_size)])
+
+    def _native_batch(self, batch_size: int) -> Optional[np.ndarray]:
+        from waveverify_tpu.native import get_wavio
+
+        wavio = get_wavio()
+        if wavio is None:
+            self.use_native = False
+            return None
+        picks = [self.files[self.rng.randint(len(self.files))]
+                 for _ in range(batch_size)]
+        out, srs, err = wavio.load_crop_batch(
+            [str(p) for p in picks], self.crop_len,
+            int(self.rng.randint(1 << 31)),
+        )
+        if err:
+            logger.warning("native ingest: %s", err)
+        for i, (path, sr) in enumerate(zip(picks, srs)):
+            if sr == self.sample_rate:
+                continue
+            # non-target rate (or decode failure): python decode + resample
+            x = self._load(path)
+            if len(x) <= self.crop_len:
+                out[i] = 0.0
+                out[i, : len(x)] = x
+            else:
+                start = self.rng.randint(len(x) - self.crop_len)
+                out[i] = x[start : start + self.crop_len]
+        return out
 
 
 class SyntheticAudioDataset:
