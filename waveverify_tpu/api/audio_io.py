@@ -21,6 +21,36 @@ logger = logging.getLogger(__name__)
 TARGET_SAMPLE_RATE = 16000
 
 
+DEFAULT_CHECKPOINT_URL = ""  # reference waveverify/utils.py:45-52: placeholder
+
+
+def download_checkpoint(url: str = DEFAULT_CHECKPOINT_URL,
+                        dest_dir: Union[str, Path] = "~/.cache/waveverify_tpu"
+                        ) -> Path:
+    """Fetch + extract a checkpoint archive (reference waveverify/utils.py:
+    45-167). The reference ships an empty placeholder URL, and this image
+    has no egress; the function exists for API parity and raises a clear
+    error when no URL is configured."""
+    if not url:
+        raise ValueError(
+            "no checkpoint URL configured (the reference ships an empty "
+            "placeholder too — reference waveverify/utils.py:45-52); pass "
+            "checkpoint_path= to WaveVerify instead"
+        )
+    import tarfile
+    import urllib.request
+
+    dest = Path(dest_dir).expanduser()
+    dest.mkdir(parents=True, exist_ok=True)
+    archive = dest / Path(url).name
+    if not archive.exists():
+        urllib.request.urlretrieve(url, archive)
+    if archive.suffixes[-2:] == [".tar", ".gz"] or archive.suffix == ".tgz":
+        with tarfile.open(archive) as tf:
+            tf.extractall(dest)
+    return dest
+
+
 def load_audio(path: Union[str, Path],
                target_sample_rate: int = TARGET_SAMPLE_RATE
                ) -> Tuple[np.ndarray, int]:

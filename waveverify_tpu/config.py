@@ -330,7 +330,7 @@ def load_config(path: Union[str, Path, None] = None,
 
     top: Dict[str, Any] = {}
     for k in ("batch_size", "val_batch_size", "num_iters", "valid_freq",
-              "sample_freq", "seed"):
+              "sample_freq", "seed", "train_duration", "val_duration"):
         if k in raw:
             top[k] = raw[k]
 

@@ -158,6 +158,30 @@ def _kaiming_normal_std(fan_in: int, nonlinearity: str) -> float:
     return gain / math.sqrt(max(fan_in, 1))
 
 
+def _spectral_norm(w2d: jnp.ndarray, n_iters: int = 9) -> jnp.ndarray:
+    """Largest singular value of a [rows, cols] matrix by power iteration.
+
+    Functional analogue of torch spectral_norm (reference modules/conv.py:76
+    routes 'spectral_norm' to torch.nn.utils.spectral_norm): instead of a
+    persistent ``u`` buffer updated once per forward, the iteration restarts
+    from a deterministic vector and runs ``n_iters`` times per apply — same
+    normalization in the fixed-point, no mutable state under jit. No shipped
+    config uses spectral_norm; kept for catalog completeness.
+    """
+    u = jnp.full((w2d.shape[0],), 1.0 / math.sqrt(w2d.shape[0]), w2d.dtype)
+
+    def body(_, u):
+        vv = w2d.T @ u
+        vv = vv / (jnp.linalg.norm(vv) + 1e-12)
+        uu = w2d @ vv
+        return uu / (jnp.linalg.norm(uu) + 1e-12)
+
+    u = jax.lax.fori_loop(0, n_iters, body, u)
+    v = w2d.T @ u
+    sigma = jnp.linalg.norm(v)
+    return jnp.maximum(sigma, 1e-12)
+
+
 class NormConv1d(nn.Module):
     """Conv1d with pluggable weight parametrization, NWC layout.
 
@@ -215,6 +239,10 @@ class NormConv1d(nn.Module):
                 jnp.maximum(var * float(fan_in), eps)
             )
             kernel = g * kernel
+        elif self.norm == "spectral_norm":
+            kernel = v / _spectral_norm(
+                v.reshape(-1, self.features), n_iters=9
+            )
         elif self.norm in ("none", "layer_norm", "time_group_norm"):
             kernel = v
         else:

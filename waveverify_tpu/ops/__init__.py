@@ -17,6 +17,12 @@ from waveverify_tpu.ops.dsp import (
     stft,
     stft_match_stride,
 )
+from waveverify_tpu.ops.transforms import (
+    MDCT,
+    PQMF,
+    STDCT,
+    design_prototype_filter,
+)
 
 __all__ = [
     "fir_filter",
@@ -28,4 +34,8 @@ __all__ = [
     "resample_kernel",
     "stft",
     "stft_match_stride",
+    "STDCT",
+    "MDCT",
+    "PQMF",
+    "design_prototype_filter",
 ]

@@ -22,6 +22,11 @@ def main() -> None:
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--val-batch-size", type=int, default=None)
+    ap.add_argument("--train-duration", type=float, default=None)
+    ap.add_argument("--val-duration", type=float, default=None,
+                    help="seconds per validation clip (default 5.0; lower "
+                    "this on compile-memory-constrained hosts)")
     ap.add_argument("--num-devices", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-file", default="train_log.jsonl")
@@ -42,6 +47,12 @@ def main() -> None:
     overrides = {}
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
+    if args.val_batch_size is not None:
+        overrides["val_batch_size"] = args.val_batch_size
+    if args.train_duration is not None:
+        overrides["train_duration"] = args.train_duration
+    if args.val_duration is not None:
+        overrides["val_duration"] = args.val_duration
     cfg = load_config(args.config, overrides or None)
     trainer = TrainerConfig(
         train_folders=tuple(args.train_folders),

@@ -173,28 +173,44 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             )
 
         if (step + 1) % cfg.valid_freq == 0 or step + 1 == total:
-            vaudio = val_ds.batch(cfg.val_batch_size)
-            vmsg = generate_random_message(val_rng, cfg.val_batch_size,
-                                           cfg.generator.msg_dimension)
-            vkey = jax.random.fold_in(key, 1_000_000 + step)
-            vmetrics = {k: float(np.asarray(v)) for k, v in
-                        val_fn(state, vaudio, vmsg, vkey).items()}
-            tracker.update(step, vmetrics)
-            logger.info("val @%d: %s", step + 1,
-                        {k: round(v, 4) for k, v in vmetrics.items()
-                         if "/" not in k or k.count("/") == 1})
+            # validation must never kill a long run (the reference guards its
+            # val/save paths the same way, scripts/train.py:1839-1882)
+            vmetrics: Dict[str, float] = {}
+            try:
+                vaudio = val_ds.batch(cfg.val_batch_size)
+                vmsg = generate_random_message(val_rng, cfg.val_batch_size,
+                                               cfg.generator.msg_dimension)
+                vkey = jax.random.fold_in(key, 1_000_000 + step)
+                vmetrics = {k: float(np.asarray(v)) for k, v in
+                            val_fn(state, vaudio, vmsg, vkey).items()}
+                tracker.update(step, vmetrics)
+                logger.info("val @%d: %s", step + 1,
+                            {k: round(v, 4) for k, v in vmetrics.items()
+                             if "/" not in k or k.count("/") == 1})
+            except Exception:
+                logger.exception("validation failed at step %d; continuing",
+                                 step + 1)
             host_state = {
                 "step": step + 1,
                 "scheduler_state": scheduler.state_dict(),
                 "best_val_loss": tracker.best_val_loss,
             }
-            ckpt.save_checkpoint(trainer.ckpt_dir, "latest", state, host_state)
-            if tracker.is_best(vmetrics.get("val/loss", float("inf"))):
-                host_state["best_val_loss"] = tracker.best_val_loss
-                ckpt.save_checkpoint(trainer.ckpt_dir, "best", state, host_state)
-            if (step + 1) in trainer.save_iters:
-                ckpt.save_checkpoint(trainer.ckpt_dir,
-                                     f"{(step + 1) // 1000}k", state, host_state)
+            try:
+                ckpt.save_checkpoint(trainer.ckpt_dir, "latest", state,
+                                     host_state)
+                if vmetrics and tracker.is_best(
+                    vmetrics.get("val/loss", float("inf"))
+                ):
+                    host_state["best_val_loss"] = tracker.best_val_loss
+                    ckpt.save_checkpoint(trainer.ckpt_dir, "best", state,
+                                         host_state)
+                if (step + 1) in trainer.save_iters:
+                    ckpt.save_checkpoint(trainer.ckpt_dir,
+                                         f"{(step + 1) // 1000}k", state,
+                                         host_state)
+            except Exception:
+                logger.exception("checkpoint save failed at step %d; "
+                                 "continuing", step + 1)
 
     if pending is not None:
         _feed_scheduler(scheduler, *pending)
