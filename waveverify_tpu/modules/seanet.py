@@ -182,9 +182,82 @@ class SEANetResnetBlock(nn.Module):
     idx: int = 0
     zero_init: bool = True
 
+    def _fused_params(self) -> Optional[tuple]:
+        """Read + weight-norm-fuse this block's conv params for the Pallas
+        kernel. Returns None when the block shape isn't kernel-eligible."""
+        if (
+            self.skip != "identity"
+            or self.act_all
+            or self.activation != "ELU"
+            or self.zero_init
+            or not self.causal
+            or self.expansion != 1
+            or self.groups != -1
+            or tuple(self.dilations) != (1, 1)
+            or self.norm not in ("weight_norm", "none")
+        ):
+            return None
+
+        def conv_kernel(name: str):
+            p = self.get_variable("params", name)["conv"]
+            v = p["v"]
+            if self.norm == "weight_norm":
+                axes = (0, 1)
+                norm_v = jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=axes, keepdims=True)
+                )
+                w = v * (p["g"][None, None, :] / norm_v)
+            else:
+                w = v
+            return w, p.get("b")
+
+        out = []
+        for i in range(2):
+            pw, _ = conv_kernel(f"block_{i}_pw")  # (1, C, C), no bias
+            dw, db = conv_kernel(f"block_{i}_dw")  # (k, 1, C)
+            c = pw.shape[-1]
+            if db is None:
+                db = jnp.zeros((c,), pw.dtype)
+            out.append((pw[0], dw[:, 0, :], db))
+        return out
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = get_activation(self.activation, self.activation_params or {"alpha": 1.0})
+
+        # Fused Pallas path (TPU): the whole block as one VMEM-resident
+        # kernel (see ops/pallas_kernels.py). Init and non-eligible shapes
+        # take the step-by-step path below, which creates/owns the params.
+        if not self.is_initializing():
+            from waveverify_tpu.ops.pallas_kernels import (
+                can_fuse,
+                fused_resblock,
+                pallas_enabled,
+            )
+
+            if (
+                pallas_enabled()
+                and x.dtype == jnp.float32
+                and can_fuse(x.shape[1], x.shape[2], self.kernel_size)
+            ):
+                fp = self._fused_params()
+                if fp is not None:
+                    (pw1, dw1, b1), (pw2, dw2, b2) = fp
+                    prescale = (
+                        (1.0 + self.idx * self.res_scale**2) ** -0.5
+                        if self.res_scale is not None else 1.0
+                    )
+                    alpha = (self.activation_params or {}).get("alpha", 1.0)
+                    return fused_resblock(
+                        x, pw1, dw1, b1, pw2, dw2, b2,
+                        k=self.kernel_size,
+                        dilations=(self.dilations[0], self.dilations[1]),
+                        prescale=prescale,
+                        res_scale=(self.res_scale
+                                   if self.res_scale is not None else 1.0),
+                        alpha=alpha,
+                    )
+
         steps: List[Callable] = []
         for i, dilation in enumerate(self.dilations):
             steps += _dws_conv_block(

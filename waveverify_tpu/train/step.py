@@ -71,8 +71,15 @@ def make_train_step(
     loss_cfg = cfg.loss
     sr = cfg.generator.sample_rate
 
+    # remat: the ensemble runs 3x per step (fake, real, interpolates for the
+    # gradient penalty); storing all its feature maps dominates HBM. Params
+    # are an explicit checkpoint argument so gradients flow through remat.
+    _disc_ckpt = jax.checkpoint(
+        lambda p, x: models.apply_discriminator(p, x)
+    )
+
     def disc_apply_fn(params):
-        return lambda x: models.apply_discriminator(params, x)
+        return lambda x: _disc_ckpt(params, x)
 
     def train_step(state: TrainState, audio: jnp.ndarray, msg: jnp.ndarray,
                    effect_idx: jnp.ndarray, key: jnp.ndarray
