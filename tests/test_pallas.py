@@ -96,10 +96,46 @@ def test_causal_dw_semantics():
 
 
 def test_can_fuse_limits():
-    assert pk.can_fuse(16000, 64, 5)
-    assert pk.can_fuse(400, 768, 5)
+    # every shipped-config block shape (encoder + decoder scales) must fuse
+    for t, c in [(16000, 64), (8000, 128), (2000, 256), (400, 512),
+                 (400, 768), (2000, 384), (8000, 192), (16000, 96)]:
+        assert pk.can_fuse(t, c, 5), (t, c)
+        t_tile = pk.choose_t_tile(t, c, 5)
+        assert t % t_tile == 0
+        assert pk._tile_bytes(t_tile, c, 8) <= pk.VMEM_BUDGET_BYTES
     assert not pk.can_fuse(50, 1536, 5)  # decoder scale0: weights too big
     assert not pk.can_fuse(16000, 1024, 5)
+    # prime T that can't tile under budget falls back
+    assert pk.choose_t_tile(15013, 512, 5) is None
+
+
+def test_tiled_kernel_matches_single_tile():
+    """Tiling with halos must be invisible: compare a T that tiles (grid
+    n_t > 1) against the XLA reference."""
+    rng = np.random.RandomState(7)
+    c, k = 64, 5
+    t = 4096  # with the test budget below -> multiple tiles
+    x = jnp.asarray(rng.randn(2, t, c).astype(np.float32) * 0.3)
+    pw1 = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.1)
+    dw1 = jnp.asarray(rng.randn(k, c).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    pw2 = jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.1)
+    dw2 = jnp.asarray(rng.randn(k, c).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+
+    statics = dict(k=k, d1=1, d2=1, prescale=0.9, res_scale=0.577, alpha=1.0)
+    y_ref = np.asarray(pk._resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2,
+                                        **statics))
+    budget = pk.VMEM_BUDGET_BYTES
+    try:
+        pk.VMEM_BUDGET_BYTES = 1 * 1024 * 1024  # force n_t = 8 tiles
+        assert pk.choose_t_tile(t, c, k) < t
+        y_tiled = np.asarray(pk._pallas_forward(
+            x, pw1, dw1, b1, pw2, dw2, b2, interpret=True, **statics
+        ))
+    finally:
+        pk.VMEM_BUDGET_BYTES = budget
+    np.testing.assert_allclose(y_tiled, y_ref, atol=2e-5, rtol=1e-5)
 
 
 def test_eligibility_gating():

@@ -3,35 +3,33 @@
 The SEANet residual block (reference modules/seanet.py:123-281; shipped
 config: ELU -> 1x1 conv -> causal depthwise k=5 -> ELU -> 1x1 -> depthwise,
 identity skip) is bandwidth-bound: its six intermediate [B, T, C] tensors
-each round-trip HBM under plain XLA fusion. This kernel keeps one batch
-item's whole [T, C] activation resident in VMEM across the entire block —
-HBM traffic drops to one read of x, one write of the output, plus weights.
+each round-trip HBM under plain XLA fusion. This kernel keeps a [T_tile, C]
+activation slab resident in VMEM across the entire block — HBM traffic
+drops to one read of x, one write of the output, plus weights.
+
+Tiling: grid (B, T // t_tile). Causality makes halos one-directional — a
+tile only needs ``2*(k-1)`` rows of *history*, which it reads from the
+previous tile by passing x a second time with a shifted index map (tile 0's
+halo is zeroed, exactly the causal zero-pad of SConv1d, reference
+modules/conv.py:739-745). t_tile is chosen so ~8 live [t_tile, C] f32
+temporaries (measured Mosaic stack behavior) fit the VMEM budget.
 
 The 1x1 convs are MXU matmuls (`jnp.dot` with f32 accumulation); the causal
-depthwise convs are k shifted multiply-adds on the VPU (exactly the
-``(k-1)*d`` left-zero-pad semantics of SConv1d, reference modules/conv.py:
-739-745).
+depthwise convs are k shifted multiply-adds on the VPU. ELU is written as
+exp(x)-1 (no Pallas TPU lowering exists for expm1).
 
-Gradients: the kernel carries a ``jax.custom_vjp`` whose backward pass
-re-derives the block with plain XLA ops (`jax.vjp` over the identical math),
-so training through fused blocks is exact; the Pallas body only ever runs
-forward.
-
-Applicability (checked by ``can_fuse``): identity skip, act_all=False, two
-depthwise-separable units, ELU activation, depthwise groups == channels, and
-weights small enough for VMEM (C <= 768: two CxC f32 kernels + the [T, C]
-tile must fit in ~16 MB).
+Gradients: `jax.custom_vjp` whose backward re-derives the block with plain
+XLA ops (`jax.vjp` over identical math), so training through fused blocks is
+exact; the Pallas body only ever runs forward.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -46,7 +44,11 @@ except Exception:  # pragma: no cover
 _PALLAS_MODE = "auto"  # "auto" | "on" | "off"
 
 MAX_FUSED_CHANNELS = 768
-MAX_FUSED_VMEM_BYTES = 12 * 1024 * 1024
+# VMEM budget for one program's working set. Mosaic's stack allocator keeps
+# ~8 live [t_tile, C] f32 temporaries for this block (measured: 31.25 M
+# requested for a full [16000, 64] tile).
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+_LIVE_TEMPS = 8
 
 
 def set_pallas_mode(mode: str) -> None:
@@ -67,13 +69,43 @@ def pallas_enabled() -> bool:
         return False
 
 
-def can_fuse(t: int, c: int, k: int) -> bool:
-    """VMEM feasibility for one [T, C] tile + 2 CxC weights + dw taps."""
+def _tile_bytes(t_tile: int, c: int, halo: int) -> int:
+    # VMEM tiles are (8, 128): channels pad up to a lane multiple (a [T, 32]
+    # f32 buffer occupies 4x its logical size) and rows pad up to 8
+    c_eff = -(-c // 128) * 128
+    rows = -(-(t_tile + halo) // 8) * 8
+    return _LIVE_TEMPS * rows * c_eff * 4 + 2 * c_eff * c * 4
+
+
+def choose_t_tile(t: int, c: int, k: int) -> Optional[int]:
+    """Largest divisor tiling of T that fits the VMEM budget (None: can't
+    fuse). Tiles must cover the halo (2*(k-1) rows of history)."""
     if c > MAX_FUSED_CHANNELS:
-        return False
-    f32 = 4
-    need = (3 * t * c + 2 * c * c + 2 * k * c + 2 * c) * f32
-    return need <= MAX_FUSED_VMEM_BYTES
+        return None
+    halo = 2 * (k - 1)
+    for n in range(1, 65):
+        if t % n:
+            continue
+        t_tile = t // n
+        if t_tile < halo:
+            return None
+        # Mosaic: the sublane (second-to-last) block dim must be divisible
+        # by 8 unless the block spans the full dimension
+        if t_tile != t and t_tile % 8:
+            continue
+        if _tile_bytes(t_tile, c, halo) <= VMEM_BUDGET_BYTES:
+            return t_tile
+    return None
+
+
+def can_fuse(t: int, c: int, k: int) -> bool:
+    return choose_t_tile(t, c, k) is not None
+
+
+def _elu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """ELU without expm1 (no Pallas TPU lowering); exp(x)-1 differs from
+    expm1 only below f32 noise for activation magnitudes."""
+    return jnp.where(x > 0, x, alpha * (jnp.exp(jnp.minimum(x, 0.0)) - 1.0))
 
 
 def _causal_dw(u: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int,
@@ -89,17 +121,17 @@ def _causal_dw(u: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int,
     return acc + b[None, :]
 
 
-def _resblock_math(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
-                   res_scale, alpha, dot):
-    """Shared block math: x [T, C] -> [T, C]. ``dot`` abstracts the matmul
-    so the same body serves the Pallas kernel and the XLA reference."""
-    y = jax.nn.elu(x * prescale, alpha=alpha)
+def _block_core(xx, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
+                alpha, dot):
+    """The block chain WITHOUT the residual add: xx [T', C] -> [T', C].
+    Entries of xx before the true start of time must be zero (causal pad)."""
+    y = _elu(xx * prescale, alpha)
     y = dot(y, pw1)
     y = _causal_dw(y, dw1, b1, k, d1)
-    y = jax.nn.elu(y, alpha=alpha)
+    y = _elu(y, alpha)
     y = dot(y, pw2)
     y = _causal_dw(y, dw2, b2, k, d2)
-    return y * res_scale + x
+    return y
 
 
 def _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
@@ -109,54 +141,80 @@ def _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
         return jnp.dot(a, w, precision=jax.lax.Precision.DEFAULT)
 
     def one(xb):
-        return _resblock_math(xb, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1,
-                              d2=d2, prescale=prescale, res_scale=res_scale,
-                              alpha=alpha, dot=dot)
+        y = _block_core(xb, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1, d2=d2,
+                        prescale=prescale, alpha=alpha, dot=dot)
+        return y * res_scale + xb
 
     return jax.vmap(one)(x)
 
 
-def _resblock_kernel(x_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref, dw2_ref,
-                     b2_ref, out_ref, *, k, d1, d2, prescale, res_scale,
-                     alpha):
+def _resblock_kernel(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
+                     dw2_ref, b2_ref, out_ref, *, k, d1, d2, prescale,
+                     res_scale, alpha, halo):
     def dot(a, w):
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
-    out_ref[0] = _resblock_math(
-        x_ref[0], pw1_ref[:], dw1_ref[:], b1_ref[:], pw2_ref[:], dw2_ref[:],
-        b2_ref[:], k=k, d1=d1, d2=d2, prescale=prescale,
-        res_scale=res_scale, alpha=alpha, dot=dot,
-    ).astype(out_ref.dtype)
+    j = pl.program_id(1)
+    xm = xm_ref[0]  # [t_tile, C] current tile
+    # history: last `halo` rows of the previous tile; zeros for tile 0
+    # (== SConv1d's causal zero padding at the sequence start)
+    hist = xp_ref[0, -halo:, :]
+    hist = jnp.where(j == 0, jnp.zeros_like(hist), hist)
+    xx = jnp.concatenate([hist, xm], axis=0)  # [halo + t_tile, C]
+
+    u = _elu(xx * prescale, alpha)
+    u = dot(u, pw1_ref[:])  # pw has no bias: zero history stays zero
+    u = _causal_dw(u, dw1_ref[:], b1_ref[:], k, d1)
+    # dw1's bias leaks into the t<0 history rows of tile 0; the true dw2
+    # input there is the causal zero pad — mask them back to zero
+    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    u = jnp.where((j == 0) & (row < halo), jnp.zeros_like(u), u)
+    u = _elu(u, alpha)
+    u = dot(u, pw2_ref[:])
+    u = _causal_dw(u, dw2_ref[:], b2_ref[:], k, d2)
+    out_ref[0] = (u[halo:] * res_scale + xm).astype(out_ref.dtype)
 
 
 def _pallas_forward(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
                     res_scale, alpha, interpret):
     b, t, c = x.shape
+    halo = (k - 1) * d1 + (k - 1) * d2
+    t_tile = choose_t_tile(t, c, k)
+    if t_tile is None:
+        return _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1,
+                             d2=d2, prescale=prescale, res_scale=res_scale,
+                             alpha=alpha)
+    n_t = t // t_tile
     kern = functools.partial(
         _resblock_kernel, k=k, d1=d1, d2=d2, prescale=prescale,
-        res_scale=res_scale, alpha=alpha,
+        res_scale=res_scale, alpha=alpha, halo=halo,
     )
-    item = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+    tile = pl.BlockSpec((1, t_tile, c), lambda i, j: (i, j, 0),
                         memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+    prev = pl.BlockSpec(
+        (1, t_tile, c),
+        lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b, n_t),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         in_specs=[
-            item,
+            tile, prev,
             full((c, c)), full((k, c)), full((c,)),
             full((c, c)), full((k, c)), full((c,)),
         ],
-        out_specs=item,
+        out_specs=tile,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * c * (2 * c + 2 * k),
             bytes_accessed=4 * (2 * b * t * c + 2 * c * c),
             transcendentals=2 * b * t * c,  # ELU exps
         ),
-    )(x, pw1, dw1, b1, pw2, dw2, b2)
+    )(x, x, pw1, dw1, b1, pw2, dw2, b2)
 
 
 @functools.lru_cache(maxsize=None)

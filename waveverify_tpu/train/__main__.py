@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--num-devices", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-file", default="train_log.jsonl")
+    ap.add_argument("--profile-steps", default=None, metavar="START:STOP",
+                    help="jax.profiler trace of steps [START, STOP) to "
+                    "<ckpt-dir>/profile")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: fail fast on the first NaN "
+                    "(replaces torch detect_anomaly, SURVEY.md §5)")
+    ap.add_argument("--no-samples", action="store_true",
+                    help="disable periodic audio sample dumps")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -53,6 +61,16 @@ def main() -> None:
         overrides["train_duration"] = args.train_duration
     if args.val_duration is not None:
         overrides["val_duration"] = args.val_duration
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+    profile_start = profile_stop = None
+    if args.profile_steps:
+        profile_start, profile_stop = (int(s) for s in
+                                       args.profile_steps.split(":"))
+
     cfg = load_config(args.config, overrides or None)
     trainer = TrainerConfig(
         train_folders=tuple(args.train_folders),
@@ -60,6 +78,9 @@ def main() -> None:
         ckpt_dir=args.ckpt_dir,
         log_file=args.log_file,
         num_devices=args.num_devices,
+        profile_start=profile_start,
+        profile_stop=profile_stop,
+        dump_samples=not args.no_samples,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

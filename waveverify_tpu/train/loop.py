@@ -91,6 +91,14 @@ class TrainerConfig:
     num_devices: Optional[int] = None
     log_every: int = 50
     match_reference_effect_cap: bool = False
+    # jax.profiler trace of steps [profile_start, profile_stop) written to
+    # <ckpt_dir>/profile (replaces the reference's audiotools Tracker timing,
+    # SURVEY.md §5)
+    profile_start: Optional[int] = None
+    profile_stop: Optional[int] = None
+    # wav dumps of (clean, watermarked) pairs every cfg.sample_freq steps
+    # (reference save_samples, scripts/train.py:1728-1846)
+    dump_samples: bool = True
 
 
 def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
@@ -142,7 +150,20 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     pending: Optional[Tuple[Dict[str, Any], List[Tuple[str, Dict]]]] = None
     val_rng = np.random.RandomState(cfg.seed + 13)
 
+    sample_fn = None
+    if trainer.dump_samples:
+        from waveverify_tpu.train.watermarking import forward_audio_sample
+
+        sample_fn = jax.jit(
+            lambda p, a, m: forward_audio_sample(models, p, a, m)
+        )
+
     for step in range(start_step, total):
+        if trainer.profile_start is not None and step == trainer.profile_start:
+            jax.profiler.start_trace(str(Path(trainer.ckpt_dir) / "profile"))
+        if trainer.profile_stop is not None and step == trainer.profile_stop:
+            jax.profiler.stop_trace()
+
         audio, msg = next(batches)
         idx, selections = scheduler.select_bank_indices(
             cfg.batch_size, bank.specs,
@@ -171,6 +192,16 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 host.get("train/ber", float("nan")),
                 host.get("train/miou", float("nan")),
             )
+
+        if sample_fn is not None and (
+            (step + 1) % cfg.sample_freq == 0 or step + 1 == total
+        ):
+            try:
+                _dump_audio_samples(sample_fn, state, audio, msg,
+                                    trainer.ckpt_dir, step + 1,
+                                    cfg.generator.sample_rate)
+            except Exception:
+                logger.exception("audio sample dump failed; continuing")
 
         if (step + 1) % cfg.valid_freq == 0 or step + 1 == total:
             # validation must never kill a long run (the reference guards its
@@ -215,6 +246,26 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     if pending is not None:
         _feed_scheduler(scheduler, *pending)
     return state
+
+
+def _dump_audio_samples(sample_fn, state, audio: np.ndarray,
+                        msg: np.ndarray, ckpt_dir: str, step: int,
+                        sample_rate: int, n: int = 2) -> None:
+    """Write n (clean, watermarked) wav pairs — the reference's
+    save_samples equivalent (scripts/train.py:1728-1846) without the
+    wandb/TensorBoard dependency."""
+    from waveverify_tpu.api.audio_io import save_audio
+
+    out_dir = Path(ckpt_dir) / "samples" / f"step_{step}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    _, watermarked = sample_fn(state.wm_params, audio[:n], msg[:n])
+    watermarked = np.asarray(watermarked)
+    for i in range(min(n, len(audio))):
+        save_audio(audio[i], out_dir / f"{i}_clean.wav", sample_rate)
+        save_audio(watermarked[i], out_dir / f"{i}_watermarked.wav",
+                   sample_rate)
+    logger.info("wrote %d audio sample pairs to %s", min(n, len(audio)),
+                out_dir)
 
 
 def _feed_scheduler(scheduler: EffectScheduler, metrics: Dict[str, Any],

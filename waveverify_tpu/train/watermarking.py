@@ -119,18 +119,27 @@ def forward_train(
     residual = apply_gen(wm_params["generator"], audio, msg)
     watermarked = residual + audio
 
-    # ~20% of 0.1 s segments reverted / zeroed / cross-substituted, building
-    # the ground-truth mask (reference utils/localization_augmentation.py).
-    augmented, mask, updated_original = localization_augmentation(
-        k_loc, audio, watermarked, sample_rate, window_duration
-    )
-    # One whole-batch temporal transform (reverse / shift / shuffle).
-    augmented, updated_original, mask = sequence_augmentation(
-        k_seq, augmented, updated_original, mask, sample_rate
-    )
+    def augment_and_attack(watermarked, audio, effect_idx):
+        # ~20% of 0.1 s segments reverted / zeroed / cross-substituted,
+        # building the ground-truth mask (reference
+        # utils/localization_augmentation.py), then one whole-batch temporal
+        # transform, then per-sample on-device attacks.
+        augmented, mask, updated_original = localization_augmentation(
+            k_loc, audio, watermarked, sample_rate, window_duration
+        )
+        augmented, updated_original, mask = sequence_augmentation(
+            k_seq, augmented, updated_original, mask, sample_rate
+        )
+        fx_audio, mask = bank.apply(augmented, mask, effect_idx, k_fx)
+        return fx_audio, mask, updated_original
 
-    # On-device attack simulation, per-sample heterogeneous dispatch.
-    fx_audio, mask = bank.apply(augmented, mask, effect_idx, k_fx)
+    if remat:
+        # the effect bank evaluates every branch batched ([E, B, T] stacks);
+        # rematerializing this segment keeps those out of the saved residuals
+        augment_and_attack = jax.checkpoint(augment_and_attack)
+    fx_audio, mask, updated_original = augment_and_attack(
+        watermarked, audio, effect_idx
+    )
 
     detector_logits = apply_det(wm_params["detector"], fx_audio)
     locator_logits = apply_loc(wm_params["locator"], fx_audio)
