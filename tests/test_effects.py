@@ -255,3 +255,94 @@ def test_sisnr():
     y = x + 0.1 * batch(2, 8000, seed=6)
     v = float(sisnr(y, x))
     assert -5 < v < 25
+
+
+# -- effects config YAML (reference model/watermarking.py:55-181) -------------
+
+
+def test_load_effects_config_from_repo_yaml():
+    from waveverify_tpu.effects import load_effects_config
+    from waveverify_tpu.effects.effects import (
+        DEFAULT_EVAL_EFFECTS,
+        DEFAULT_TRAIN_EFFECTS,
+    )
+
+    cfg = load_effects_config()  # conf/effects_config.yml ships with the repo
+    assert cfg.source.endswith("effects_config.yml")
+    assert list(cfg.train_effects) == [(n, p) for n, p in DEFAULT_TRAIN_EFFECTS]
+    assert list(cfg.eval_effects) == [(n, p) for n, p in DEFAULT_EVAL_EFFECTS]
+    assert cfg.beta == 0.9
+    assert cfg.ber_threshold == 0.001
+    assert cfg.miou_threshold == 0.95
+    assert set(cfg.effect_param_grid) == {
+        "identity", "highpass_filter", "lowpass_filter", "bandpass_filter",
+        "speed", "resample", "random_noise",
+    }
+
+
+def test_load_effects_config_fallback_and_custom(tmp_path):
+    from waveverify_tpu.effects import load_effects_config
+
+    # missing file -> fail-safe defaults, like the reference (:117-119)
+    cfg = load_effects_config(str(tmp_path / "nope.yml"))
+    assert cfg.source == "defaults"
+    assert len(cfg.train_effects) == 9
+
+    custom = tmp_path / "fx.yml"
+    custom.write_text(
+        "effect_param_grid:\n"
+        "  identity: {}\n"
+        "  random_noise:\n"
+        "    noise_std: {choices: [0.01, 0.02]}\n"
+        "train_effects:\n"
+        "  - {name: identity, params: {}}\n"
+        "  - {name: random_noise, params: {noise_std: 0.01}}\n"
+        "eval_effects:\n"
+        "  - {name: identity, params: {}}\n"
+        "scheduler_config: {beta: 0.5, ber_threshold: 0.01, miou_threshold: 0.9}\n"
+    )
+    cfg = load_effects_config(str(custom))
+    assert cfg.train_effects == (("identity", {}),
+                                 ("random_noise", {"noise_std": 0.01}))
+    assert cfg.eval_effects == (("identity", {}),)
+    assert cfg.beta == 0.5
+
+    # the loaded grid drives a scheduler + bank end to end
+    sched = EffectScheduler(effect_params=cfg.effect_param_grid,
+                            beta=cfg.beta, ber_threshold=cfg.ber_threshold,
+                            miou_threshold=cfg.miou_threshold,
+                            rng=np.random.RandomState(0))
+    bank = EffectBank(cfg.train_effects, 16000)
+    idx, sels = sched.select_bank_indices(4, bank.specs)
+    assert idx.shape == (4,)
+    a, m = bank.apply(batch(4, 1600), jnp.ones((4, 1600)), jnp.asarray(idx),
+                      KEY)
+    assert a.shape == (4, 1600)
+
+
+def test_load_effects_config_two_element_list_params(tmp_path):
+    from waveverify_tpu.effects import load_effects_config
+
+    custom = tmp_path / "fx.yml"
+    custom.write_text(
+        "effect_param_grid: {identity: {}}\n"
+        "train_effects:\n"
+        "  - {name: identity, params: {band: [300, 4000]}}\n"
+        "eval_effects:\n"
+        "  - {name: identity, params: {}}\n"
+    )
+    cfg = load_effects_config(str(custom))
+    # 2-element lists normalize to tuples (reference watermarking.py:104-109)
+    assert cfg.train_effects[0][1]["band"] == (300, 4000)
+
+
+def test_evaluate_ber():
+    from waveverify_tpu.metrics import evaluate_ber
+
+    probs = jnp.asarray([[0.9, 0.1, 0.8, 0.2]])
+    bits = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+    assert float(evaluate_ber(probs, bits)) == 0.0
+    flipped = jnp.asarray([[0.0, 1.0, 1.0, 0.0]])
+    assert float(evaluate_ber(probs, flipped)) == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        evaluate_ber(probs, bits[:, :2])

@@ -60,3 +60,50 @@ def test_default_sweep_lists_cover_readme_tables():
     assert len(EVAL_COMBINED) == 3
     for chain in EVAL_COMBINED:
         assert len(chain) == 2
+
+
+# -- native STOI (waveverify_tpu/quality.py) ---------------------------------
+
+
+class TestNativeSTOI:
+    def _speech_like(self, seconds=2.0, fs=16000, seed=0):
+        """Amplitude-modulated multi-tone — has the spectro-temporal
+        modulation STOI measures (white noise alone has none)."""
+        rng = np.random.RandomState(seed)
+        t = np.arange(int(seconds * fs)) / fs
+        x = np.zeros_like(t)
+        for f0 in (220, 440, 880, 1760, 3000):
+            x += rng.rand() * np.sin(2 * np.pi * f0 * t + rng.rand())
+        x *= 0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t)  # 3 Hz envelope
+        return (0.1 * x / np.max(np.abs(x))).astype(np.float64)
+
+    def test_identity_is_one(self):
+        from waveverify_tpu.quality import native_stoi
+
+        x = self._speech_like()
+        assert native_stoi(x, x, 16000) == pytest.approx(1.0, abs=1e-6)
+
+    def test_monotonic_in_noise(self):
+        from waveverify_tpu.quality import native_stoi
+
+        x = self._speech_like()
+        rng = np.random.RandomState(1)
+        noise = rng.randn(len(x))
+        scores = [native_stoi(x + s * noise, x, 16000)
+                  for s in (0.0, 0.01, 0.05, 0.2)]
+        assert scores[0] == pytest.approx(1.0, abs=1e-6)
+        assert all(a > b for a, b in zip(scores, scores[1:]))
+        assert scores[-1] < 0.8
+
+    def test_metrics_stoi_never_nan(self):
+        from waveverify_tpu.metrics import stoi
+
+        x = self._speech_like(1.0)
+        v = stoi(x, x, 16000)
+        assert np.isfinite(v) and v > 0.99
+
+    def test_too_short_returns_floor(self):
+        from waveverify_tpu.quality import native_stoi
+
+        x = self._speech_like(0.2)  # < 30 frames after framing at 10 kHz
+        assert native_stoi(x, x, 16000) == pytest.approx(1e-5)

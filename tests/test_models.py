@@ -258,3 +258,92 @@ def test_discriminator_shapes():
     assert len(outs[0]) == 6
     # MRD fmap count: 5 bands x 5 convs + post
     assert len(outs[2]) == 26
+
+
+@needs_ref
+def test_mrd_parity():
+    """MRD golden parity: the torch oracle runs with an audiotools-faithful
+    stft shim (match_stride semantics, tests/torch_ref.py), so this
+    validates stft_match_stride + the per-band conv stacks end to end."""
+    import torch
+
+    torch_ref.install_fake_audiotools()
+    import importlib.util
+    import sys
+
+    if torch_ref.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, torch_ref.REFERENCE_ROOT)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_model_discriminator_mrd",
+        f"{torch_ref.REFERENCE_ROOT}/model/discriminator.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_model_discriminator_mrd"] = mod
+    spec.loader.exec_module(mod)
+
+    tm = mod.MRD(window_length=512)
+    tm.eval()
+    from waveverify_tpu.models.discriminator import MRD
+
+    m = MRD(window_length=512)
+    x = np.random.RandomState(21).randn(1, 4000, 1).astype(np.float32)
+    p = _np_params(m, jnp.asarray(x))
+    for bi, stack in enumerate(tm.band_convs):
+        for ci, layer in enumerate(stack):
+            torch_ref.set_norm_conv2d(p[f"band_{bi}_conv_{ci}"], layer[0])
+    torch_ref.set_norm_conv2d(p["conv_post"], tm.conv_post)
+
+    with torch.no_grad():
+        fm_t = tm(torch.from_numpy(x.transpose(0, 2, 1)))
+    fm_j = m.apply({"params": p}, jnp.asarray(x))
+    assert len(fm_j) == len(fm_t)  # 5 bands x 5 convs + post = 26
+    for a, b in zip(fm_j, fm_t):
+        # torch [B, C, T', Fb] -> jax [B, T', Fb, C]
+        np.testing.assert_allclose(
+            np.asarray(a), b.numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3,
+        )
+
+
+@needs_ref
+def test_msd_parity_rate1():
+    """MSD golden parity at rate=1 (the no-resample path; conf/base.yml
+    disables MSD entirely — rates: [] — so the conv stack is the whole
+    story; rate>1 uses our polyphase resampler vs julius: semantic)."""
+    import torch
+
+    torch_ref.install_fake_audiotools()
+    import importlib.util
+    import sys
+
+    if torch_ref.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, torch_ref.REFERENCE_ROOT)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_model_discriminator_msd",
+        f"{torch_ref.REFERENCE_ROOT}/model/discriminator.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_model_discriminator_msd"] = mod
+    spec.loader.exec_module(mod)
+
+    tm = mod.MSD(rate=1)
+    tm.eval()
+    from waveverify_tpu.models.discriminator import MSD
+
+    m = MSD(rate=1)
+    x = np.random.RandomState(22).randn(1, 3200, 1).astype(np.float32)
+    p = _np_params(m, jnp.asarray(x))
+    for i, layer in enumerate(tm.convs):
+        torch_ref.set_norm_conv(p[f"conv_{i}"], layer[0])
+    torch_ref.set_norm_conv(p["conv_post"], tm.conv_post)
+
+    with torch.no_grad():
+        fm_t = tm(torch.from_numpy(x.transpose(0, 2, 1)))
+    fm_j = m.apply({"params": p}, jnp.asarray(x))
+    assert len(fm_j) == len(fm_t)  # 6 convs + post
+    for a, b in zip(fm_j, fm_t):
+        # torch [B, C, T'] -> jax [B, T', C]
+        np.testing.assert_allclose(
+            np.asarray(a), b.numpy().transpose(0, 2, 1),
+            atol=5e-4, rtol=1e-3,
+        )

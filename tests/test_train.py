@@ -256,3 +256,47 @@ def test_wav_io_roundtrip(tmp_path):
     ds = AudioFolderDataset([str(tmp_path)], duration=0.25)
     crop = ds.sample_crop()
     assert crop.shape == (4000,)
+
+
+def test_train_loop_end_to_end(tmp_path):
+    """Outer train() loop: effects YAML -> bank/scheduler, JSONL + optional
+    TensorBoard sinks, checkpoint tags, resume metadata."""
+    import dataclasses
+
+    from waveverify_tpu.train.loop import TrainerConfig, train
+    from waveverify_tpu.train import checkpoint as ckpt
+
+    fx = tmp_path / "fx.yml"
+    fx.write_text(
+        "effect_param_grid:\n"
+        "  identity: {}\n"
+        "  random_noise:\n"
+        "    noise_std: {choices: [0.001]}\n"
+        "train_effects:\n"
+        "  - {name: identity, params: {}}\n"
+        "  - {name: random_noise, params: {noise_std: 0.001}}\n"
+        "eval_effects:\n"
+        "  - {name: identity, params: {}}\n"
+        "scheduler_config: {beta: 0.9, ber_threshold: 0.001, miou_threshold: 0.95}\n"
+    )
+    cfg = dataclasses.replace(
+        tiny_config(B), num_iters=2, valid_freq=2, sample_freq=10**9,
+        train_duration=0.2, val_duration=0.2, val_batch_size=2,
+    )
+    trainer = TrainerConfig(
+        ckpt_dir=str(tmp_path / "ckpt"),
+        log_file=str(tmp_path / "log.jsonl"),
+        tensorboard_dir=str(tmp_path / "tb"),
+        effects_config=str(fx),
+        dump_samples=False,
+        log_every=1,
+        num_devices=1,
+    )
+    train(cfg, trainer)
+    assert (tmp_path / "log.jsonl").exists()
+    lines = (tmp_path / "log.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 2
+    assert "latest" in ckpt.checkpoint_tags(str(tmp_path / "ckpt"))
+    if (tmp_path / "tb").exists():  # written only when tensorboard importable
+        assert any(f.startswith("events") for f in
+                   __import__("os").listdir(tmp_path / "tb"))

@@ -69,6 +69,40 @@ def install_fake_audiotools():
         def clone(self):
             return AudioSignal(self.audio_data.clone(), self.sample_rate)
 
+        def resample(self, target_rate):
+            if target_rate != self.sample_rate:
+                raise NotImplementedError(
+                    "shim supports rate=1 only (no julius in image)"
+                )
+            return self
+
+        def stft(self):
+            """descript-audiotools AudioSignal.stft semantics: optional
+            match_stride pre-pad (reflect (w-h)/2 each side + right
+            alignment so n_frames == ceil(T/hop)), torch.stft center=True,
+            then drop 2 boundary frames per side when match_stride."""
+            import math
+
+            sp = self.stft_params or STFTParams()
+            wl, hop = sp.window_length, sp.hop_length
+            x = self.audio_data  # [B, C, T]
+            b, c, t = x.shape
+            if sp.match_stride:
+                right_pad = math.ceil(t / hop) * hop - t
+                pad = (wl - hop) // 2
+            else:
+                right_pad = pad = 0
+            xp = torch.nn.functional.pad(
+                x.reshape(-1, t), (pad, pad + right_pad), mode="reflect"
+            )
+            s = torch.stft(xp, n_fft=wl, hop_length=hop,
+                           window=torch.hann_window(wl),
+                           return_complex=True, center=True)
+            s = s.reshape(b, c, s.shape[-2], s.shape[-1])
+            if sp.match_stride:
+                s = s[..., 2:-2]
+            return s
+
     class STFTParams:
         def __init__(self, window_length=2048, hop_length=512,
                      match_stride=False):

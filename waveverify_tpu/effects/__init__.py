@@ -18,6 +18,10 @@ from waveverify_tpu.effects.effects import (
     EffectBank,
     apply_effect,
 )
+from waveverify_tpu.effects.effects_config import (
+    EffectsConfig,
+    load_effects_config,
+)
 from waveverify_tpu.effects.scheduler import EffectScheduler
 from waveverify_tpu.effects.augment import (
     localization_augmentation,
@@ -28,6 +32,8 @@ __all__ = [
     "AudioEffects",
     "EffectBank",
     "apply_effect",
+    "EffectsConfig",
+    "load_effects_config",
     "EffectScheduler",
     "localization_augmentation",
     "sequence_augmentation",

@@ -52,6 +52,19 @@ def ber(decoded_logits: jnp.ndarray, original_bits: jnp.ndarray,
     return jnp.where(n_valid > 0, jnp.sum(errors) / jnp.maximum(n_valid, 1), 0.0)
 
 
+def evaluate_ber(decoded_probs: jnp.ndarray, original_bits: jnp.ndarray,
+                 threshold: float = DEFAULT_BER_THRESHOLD) -> jnp.ndarray:
+    """Simplified BER for probability (not logit) inputs of the same shape
+    (reference scripts/evaluate.py:518-573): binarize both at ``threshold``,
+    return 1 - accuracy."""
+    if decoded_probs.shape != original_bits.shape:
+        raise ValueError(f"Shape mismatch: decoded={decoded_probs.shape}, "
+                         f"original={original_bits.shape}")
+    decoded = (decoded_probs >= threshold).astype(jnp.float32)
+    original = (original_bits >= threshold).astype(jnp.float32)
+    return 1.0 - jnp.mean((decoded == original).astype(jnp.float32))
+
+
 def _iou_pair(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """Mean of foreground and background IoU for one (flattened) mask pair."""
     pred_fg = pred == 1
@@ -112,16 +125,23 @@ def sisnr(estimate: jnp.ndarray, reference: jnp.ndarray,
 
 def stoi(estimate: np.ndarray, reference: np.ndarray,
          sample_rate: int = 16000) -> float:
-    """Short-time objective intelligibility via pystoi (host, eval-only).
+    """Short-time objective intelligibility (host, eval-only).
 
-    Returns NaN when pystoi is unavailable (reference scripts/evaluate.py:65).
+    Prefers pystoi when installed (the reference's only path,
+    scripts/evaluate.py:65-144); otherwise falls back to the bundled
+    implementation of the same published algorithm
+    (:mod:`waveverify_tpu.quality`) instead of degrading to NaN.
     """
     try:
         from pystoi import stoi as _stoi  # type: ignore
+
+        return float(_stoi(np.asarray(reference).ravel(),
+                           np.asarray(estimate).ravel(),
+                           sample_rate, extended=False))
     except ImportError:
-        return float("nan")
-    return float(_stoi(np.asarray(reference).ravel(), np.asarray(estimate).ravel(),
-                       sample_rate, extended=False))
+        from waveverify_tpu.quality import native_stoi
+
+        return float(native_stoi(estimate, reference, sample_rate))
 
 
 def pesq(estimate: np.ndarray, reference: np.ndarray,

@@ -64,6 +64,11 @@ def pallas_enabled() -> bool:
     if _PALLAS_MODE == "on":
         return True
     try:
+        # a `with jax.default_device(cpu)` context (e.g. bench.py's host
+        # baseline on a TPU-attached host) must lower without pallas
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False

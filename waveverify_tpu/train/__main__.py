@@ -16,6 +16,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="Train waveverify_tpu")
     ap.add_argument("--config", default=None,
                     help="reference-format YAML (conf/base.yml schema)")
+    ap.add_argument("--effects-config", default=None,
+                    help="effects YAML (conf/effects_config.yml schema); "
+                    "default tries conf/effects_config.yml then built-ins")
     ap.add_argument("--train-folders", nargs="*", default=[],
                     help="folders of training WAVs (synthetic if empty)")
     ap.add_argument("--val-folders", nargs="*", default=[])
@@ -30,6 +33,8 @@ def main() -> None:
     ap.add_argument("--num-devices", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-file", default="train_log.jsonl")
+    ap.add_argument("--tensorboard", default=None, metavar="DIR",
+                    help="also mirror scalars to TensorBoard events in DIR")
     ap.add_argument("--profile-steps", default=None, metavar="START:STOP",
                     help="jax.profiler trace of steps [START, STOP) to "
                     "<ckpt-dir>/profile")
@@ -81,6 +86,8 @@ def main() -> None:
         profile_start=profile_start,
         profile_stop=profile_stop,
         dump_samples=not args.no_samples,
+        effects_config=args.effects_config,
+        tensorboard_dir=args.tensorboard,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

@@ -25,6 +25,7 @@ import numpy as np
 
 from waveverify_tpu.config import TrainConfig
 from waveverify_tpu.effects.effects import EffectBank
+from waveverify_tpu.effects.effects_config import load_effects_config
 from waveverify_tpu.effects.scheduler import EffectScheduler
 from waveverify_tpu.parallel import make_mesh, shard_batch, shard_train_step
 from waveverify_tpu.train import checkpoint as ckpt
@@ -43,14 +44,27 @@ logger = logging.getLogger(__name__)
 
 class Tracker:
     """Minimal stand-in for audiotools' Tracker (reference scripts/train.py:
-    1975-1988): step timing, metric EMA, history to JSONL, best tracking."""
+    1975-1988): step timing, metric EMA, history to JSONL, best tracking.
 
-    def __init__(self, log_file: Optional[str] = None, ema: float = 0.99):
+    ``tb_dir`` additionally mirrors every scalar to TensorBoard when the
+    package is importable (reference writes TB rank-0 only,
+    scripts/train.py:1939-1942; caller gates on process_index)."""
+
+    def __init__(self, log_file: Optional[str] = None, ema: float = 0.99,
+                 tb_dir: Optional[str] = None):
         self.ema = ema
         self.smoothed: Dict[str, float] = {}
         self.best_val_loss = float("inf")
         self.log_file = Path(log_file) if log_file else None
         self._t_last = time.perf_counter()
+        self._tb = None
+        if tb_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tb_dir)
+            except Exception as exc:  # optional dep, never fatal
+                logger.warning("TensorBoard unavailable (%s); JSONL only", exc)
 
     def update(self, step: int, metrics: Dict[str, float]) -> Dict[str, float]:
         now = time.perf_counter()
@@ -64,13 +78,19 @@ class Tracker:
                 v if k not in self.smoothed
                 else self.ema * self.smoothed[k] + (1 - self.ema) * v
             )
+        scalars = {k: float(v) for k, v in metrics.items()
+                   if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
         if self.log_file:
             with self.log_file.open("a") as f:
-                f.write(json.dumps(
-                    {"step": step, **{k: float(v) for k, v in metrics.items()
-                                      if np.isscalar(v) or getattr(v, "ndim", 1) == 0}}
-                ) + "\n")
+                f.write(json.dumps({"step": step, **scalars}) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, v, step)
         return metrics
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
 
     def is_best(self, val_loss: float) -> bool:
         if val_loss < self.best_val_loss:
@@ -99,6 +119,13 @@ class TrainerConfig:
     # wav dumps of (clean, watermarked) pairs every cfg.sample_freq steps
     # (reference save_samples, scripts/train.py:1728-1846)
     dump_samples: bool = True
+    # effects YAML (conf/effects_config.yml schema); None tries the repo
+    # default path and falls back to built-in defaults, exactly like the
+    # reference's load_effects_config (model/watermarking.py:55-181)
+    effects_config: Optional[str] = None
+    # TensorBoard event dir (scalars mirrored from the JSONL stream;
+    # reference scripts/train.py:1939-1942 is rank-0 TB the same way)
+    tensorboard_dir: Optional[str] = None
 
 
 def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
@@ -111,9 +138,20 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         raise ValueError(f"batch_size {cfg.batch_size} must divide over "
                          f"{n_dev} devices")
     models = WatermarkModels.from_config(cfg)
-    bank = EffectBank.default_train_bank(cfg.generator.sample_rate)
-    scheduler = EffectScheduler(rng=np.random.RandomState(cfg.seed + 1))
-    tracker = Tracker(trainer.log_file)
+    fx_cfg = load_effects_config(trainer.effects_config)
+    bank = EffectBank(fx_cfg.train_effects, cfg.generator.sample_rate)
+    scheduler = EffectScheduler(
+        effect_params=fx_cfg.effect_param_grid,
+        beta=fx_cfg.beta,
+        ber_threshold=fx_cfg.ber_threshold,
+        miou_threshold=fx_cfg.miou_threshold,
+        rng=np.random.RandomState(cfg.seed + 1),
+    )
+    tracker = Tracker(
+        trainer.log_file,
+        tb_dir=(trainer.tensorboard_dir
+                if jax.process_index() == 0 else None),
+    )
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, key, models)
@@ -127,7 +165,9 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         logger.info("resumed from step %d", start_step)
 
     step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh)
-    val_fn = jax.jit(make_val_step(models, cfg))
+    val_fn = jax.jit(
+        make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
+    )
 
     if trainer.train_folders:
         train_ds = AudioFolderDataset(trainer.train_folders, cfg.train_duration,
@@ -245,6 +285,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
 
     if pending is not None:
         _feed_scheduler(scheduler, *pending)
+    tracker.close()
     return state
 
 
