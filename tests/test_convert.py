@@ -197,3 +197,25 @@ def test_fuse_parametrizations_math():
     np.testing.assert_allclose(fused["conv.weight"], g * v / norm, rtol=1e-5)
     assert "conv.bias" in fused
     assert not any(".parametrizations." in k for k in fused)
+
+
+def test_npz_weights_roundtrip(tmp_path):
+    """Compact-weights interchange: tree -> .npz (f16) -> tree preserves
+    structure and values to f16 resolution; WaveVerify loads the file."""
+    import jax
+    import numpy as np
+
+    from waveverify_tpu.convert import load_weights_npz, save_weights_npz
+
+    tree = {
+        "generator": {"conv": {"g": np.random.RandomState(0).randn(8).astype(np.float32),
+                               "v": np.random.RandomState(1).randn(3, 2, 8).astype(np.float32)}},
+        "detector": {"dense": {"kernel": np.ones((4, 4), np.float32)}},
+    }
+    p = save_weights_npz(tree, tmp_path / "w.npz")
+    back = load_weights_npz(p)
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(tree)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(tree)):
+        assert a.dtype == np.float32
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)

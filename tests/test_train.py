@@ -260,11 +260,28 @@ def test_wav_io_roundtrip(tmp_path):
 
 def test_train_loop_end_to_end(tmp_path):
     """Outer train() loop: effects YAML -> bank/scheduler, JSONL + optional
-    TensorBoard sinks, checkpoint tags, resume metadata."""
+    TensorBoard sinks, checkpoint tags, resume metadata. Also guards the
+    single-compile property: the initial state is committed to the mesh
+    before step 0, so step 1 must NOT recompile the train step (the
+    mesh-axis aval mismatch recompile doubled compile cost and OOMed
+    memory-tight remote compile services)."""
     import dataclasses
+    import logging
 
     from waveverify_tpu.train.loop import TrainerConfig, train
     from waveverify_tpu.train import checkpoint as ckpt
+
+    compile_events = []
+
+    class _Counter(logging.Handler):
+        def emit(self, record):
+            m = record.getMessage()
+            if "Compiling jit(train_step)" in m:
+                compile_events.append(m)
+
+    handler = _Counter()
+    jax.config.update("jax_log_compiles", True)
+    logging.getLogger("jax._src.interpreters.pxla").addHandler(handler)
 
     fx = tmp_path / "fx.yml"
     fx.write_text(
@@ -292,7 +309,11 @@ def test_train_loop_end_to_end(tmp_path):
         log_every=1,
         num_devices=1,
     )
-    train(cfg, trainer)
+    try:
+        train(cfg, trainer)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logging.getLogger("jax._src.interpreters.pxla").removeHandler(handler)
     assert (tmp_path / "log.jsonl").exists()
     lines = (tmp_path / "log.jsonl").read_text().strip().splitlines()
     assert len(lines) >= 2
@@ -300,3 +321,8 @@ def test_train_loop_end_to_end(tmp_path):
     if (tmp_path / "tb").exists():  # written only when tensorboard importable
         assert any(f.startswith("events") for f in
                    __import__("os").listdir(tmp_path / "tb"))
+    assert len(compile_events) == 1, (
+        f"train step compiled {len(compile_events)}x over 2 steps — the "
+        "initial state must be mesh-committed so step 2 reuses step 1's "
+        "executable"
+    )

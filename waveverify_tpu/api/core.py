@@ -111,6 +111,12 @@ class WaveVerify:
 
             logger.info("converting PyTorch checkpoint %s", path)
             return convert_torch_checkpoint(path, self.config)
+        if path.suffix == ".npz":
+            from waveverify_tpu.convert import load_weights_npz
+
+            logger.info("loading compact weights %s", path)
+            return jax.tree_util.tree_map(jnp.asarray,
+                                          load_weights_npz(path))
         # orbax TrainState dir (tag dir or ckpt root containing 'latest')
         from waveverify_tpu.train import checkpoint as ckpt
         from waveverify_tpu.train.state import create_train_state

@@ -228,6 +228,10 @@ class TrainConfig:
     # watermarking composite params (reference model/watermarking.py:216-218)
     window_duration: float = 0.1
     k_windows: int = 5
+    # rematerialize the forward in the train step (halves peak HBM; roughly
+    # doubles the emitted HLO — turn off on compile-memory-limited hosts
+    # when the batch fits without it)
+    remat: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +334,8 @@ def load_config(path: Union[str, Path, None] = None,
 
     top: Dict[str, Any] = {}
     for k in ("batch_size", "val_batch_size", "num_iters", "valid_freq",
-              "sample_freq", "seed", "train_duration", "val_duration"):
+              "sample_freq", "seed", "train_duration", "val_duration",
+              "remat"):
         if k in raw:
             top[k] = raw[k]
 

@@ -388,3 +388,37 @@ def save_converted(path: Union[str, Path], out_dir: Union[str, Path],
     ))
     return ckpt.save_checkpoint(str(out_dir), "latest", state,
                                 {"source": str(path)})
+
+
+# ---------------------------------------------------------------------------
+# Compact weights interchange (.npz)
+# ---------------------------------------------------------------------------
+
+
+def save_weights_npz(wm_params: Dict[str, Any], path: Union[str, Path],
+                     dtype=np.float16) -> Path:
+    """Save the inference parameter tree as one compressed ``.npz``.
+
+    This is the distribution format for pretrained weights: params only (no
+    optimizer state), stored ``dtype`` (f16 halves the file; convs cast back
+    to f32 at load). Keys are '/'-joined tree paths.
+    """
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(wm_params, sep="/")
+    arrays = {k: np.asarray(v).astype(dtype) for k, v in flat.items()}
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+    logger.info("saved %d arrays to %s", len(arrays), path)
+    return path
+
+
+def load_weights_npz(path: Union[str, Path],
+                     dtype=np.float32) -> Dict[str, Any]:
+    """Load a ``save_weights_npz`` file back into a parameter tree."""
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(Path(path)) as z:
+        flat = {k: np.asarray(z[k], dtype) for k in z.files}
+    return unflatten_dict(flat, sep="/")

@@ -41,7 +41,12 @@ except Exception:  # pragma: no cover
 
 # Global switch: pallas kernels default ON for TPU backends, OFF elsewhere
 # (CPU tests exercise the kernel explicitly via interpret mode).
-_PALLAS_MODE = "auto"  # "auto" | "on" | "off"
+# WAVEVERIFY_PALLAS=auto|on|off overrides without code changes.
+import os as _os
+
+_PALLAS_MODE = _os.environ.get("WAVEVERIFY_PALLAS", "auto")
+if _PALLAS_MODE not in ("auto", "on", "off"):  # pragma: no cover
+    _PALLAS_MODE = "auto"
 
 MAX_FUSED_CHANNELS = 768
 # VMEM budget for one program's working set. Mosaic's stack allocator keeps

@@ -31,6 +31,13 @@ def main() -> None:
                     help="seconds per validation clip (default 5.0; lower "
                     "this on compile-memory-constrained hosts)")
     ap.add_argument("--num-devices", type=int, default=None)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--pallas", default=None, choices=["auto", "on", "off"],
+                    help="pallas kernel mode (default: auto, or the "
+                    "WAVEVERIFY_PALLAS env var)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable forward rematerialization (smaller HLO / "
+                    "faster compile, higher HBM; use with smaller batches)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-file", default="train_log.jsonl")
     ap.add_argument("--tensorboard", default=None, metavar="DIR",
@@ -66,6 +73,8 @@ def main() -> None:
         overrides["train_duration"] = args.train_duration
     if args.val_duration is not None:
         overrides["val_duration"] = args.val_duration
+    if args.no_remat:
+        overrides["remat"] = False
     if args.debug_nans:
         import jax
 
@@ -83,11 +92,13 @@ def main() -> None:
         ckpt_dir=args.ckpt_dir,
         log_file=args.log_file,
         num_devices=args.num_devices,
+        log_every=args.log_every,
         profile_start=profile_start,
         profile_stop=profile_stop,
         dump_samples=not args.no_samples,
         effects_config=args.effects_config,
         tensorboard_dir=args.tensorboard,
+        pallas_mode=args.pallas,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

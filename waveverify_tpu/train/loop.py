@@ -27,7 +27,12 @@ from waveverify_tpu.config import TrainConfig
 from waveverify_tpu.effects.effects import EffectBank
 from waveverify_tpu.effects.effects_config import load_effects_config
 from waveverify_tpu.effects.scheduler import EffectScheduler
-from waveverify_tpu.parallel import make_mesh, shard_batch, shard_train_step
+from waveverify_tpu.parallel import (
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_train_step,
+)
 from waveverify_tpu.train import checkpoint as ckpt
 from waveverify_tpu.train.data import (
     AudioFolderDataset,
@@ -126,6 +131,11 @@ class TrainerConfig:
     # TensorBoard event dir (scalars mirrored from the JSONL stream;
     # reference scripts/train.py:1939-1942 is rank-0 TB the same way)
     tensorboard_dir: Optional[str] = None
+    # Pallas kernel mode for this process ("auto"|"on"|"off"). The fused
+    # resblock kernels inflate the train-step HLO (custom_vjp under remat +
+    # second-order GP); memory-tight remote compile services may need "off"
+    # for training while inference keeps "auto".
+    pallas_mode: Optional[str] = None
 
 
 def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
@@ -137,6 +147,10 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     if cfg.batch_size % n_dev:
         raise ValueError(f"batch_size {cfg.batch_size} must divide over "
                          f"{n_dev} devices")
+    if trainer.pallas_mode is not None:
+        from waveverify_tpu.ops.pallas_kernels import set_pallas_mode
+
+        set_pallas_mode(trainer.pallas_mode)
     models = WatermarkModels.from_config(cfg)
     fx_cfg = load_effects_config(trainer.effects_config)
     bank = EffectBank(fx_cfg.train_effects, cfg.generator.sample_rate)
@@ -163,6 +177,11 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             scheduler.load_state_dict(meta["scheduler_state"])
         tracker.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         logger.info("resumed from step %d", start_step)
+    # Commit the state to the mesh BEFORE the first step: host-built arrays
+    # have no mesh in their aval sharding, so the state returned by step 1
+    # (mesh-typed) would otherwise be a cache miss and the whole train step
+    # would compile twice (fatal on memory-tight compile services).
+    state = jax.device_put(state, replicated_sharding(mesh))
 
     step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh)
     val_fn = jax.jit(

@@ -74,8 +74,10 @@ def make_train_step(
     # remat: the ensemble runs 3x per step (fake, real, interpolates for the
     # gradient penalty); storing all its feature maps dominates HBM. Params
     # are an explicit checkpoint argument so gradients flow through remat.
-    _disc_ckpt = jax.checkpoint(
-        lambda p, x: models.apply_discriminator(p, x)
+    _disc_ckpt = (
+        jax.checkpoint(lambda p, x: models.apply_discriminator(p, x))
+        if cfg.remat
+        else (lambda p, x: models.apply_discriminator(p, x))
     )
 
     def disc_apply_fn(params):
@@ -91,6 +93,7 @@ def make_train_step(
             return forward_train(
                 models, wm_params, k_fwd, audio, msg, effect_idx, bank,
                 sample_rate=sr, window_duration=cfg.window_duration,
+                remat=cfg.remat,
             )
 
         outs, fwd_vjp = jax.vjp(fwd, state.wm_params)
