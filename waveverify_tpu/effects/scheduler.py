@@ -201,6 +201,18 @@ class EffectScheduler:
             pm["miou"] = beta * pm["miou"] + (1 - beta) * miou
         pm["count"] += 1
 
+        # periodic behavior dump (reference model/watermarking.py:750-753
+        # logs scheduler state every 100 metric updates)
+        self._updates = getattr(self, "_updates", 0) + 1
+        if self._updates % 100 == 0:
+            summary = {
+                name: {"ber": round(m["ber"], 4) if m["ber"] is not None else None,
+                       "miou": round(m["miou"], 4) if m["miou"] is not None else None}
+                for name, m in self.effect_metrics_history.items()
+            }
+            logger.info("scheduler EMA after %d updates: %s",
+                        self._updates, summary)
+
     def adapt_effect_probabilities(self) -> None:
         """Softmax over reward 0.8*(1-BER) + 0.2*mIoU, smoothing 0.8
         (reference :432-504). NOTE: off the training path by design — the

@@ -188,13 +188,18 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
 
+    # On resume, mix the resume step into the data seeds so the stream
+    # continues with fresh data instead of replaying from the beginning
+    # (the reference fast-forwards its dataloader the same way,
+    # scripts/train.py:1957 start_idx = step * batch_size).
+    data_seed = cfg.seed + start_step
     if trainer.train_folders:
         train_ds = AudioFolderDataset(trainer.train_folders, cfg.train_duration,
-                                      cfg.generator.sample_rate, cfg.seed)
+                                      cfg.generator.sample_rate, data_seed)
     else:
         logger.warning("no train folders given — using synthetic audio")
         train_ds = SyntheticAudioDataset(cfg.train_duration,
-                                         cfg.generator.sample_rate, cfg.seed)
+                                         cfg.generator.sample_rate, data_seed)
     if trainer.val_folders:
         val_ds = AudioFolderDataset(trainer.val_folders, cfg.val_duration,
                                     cfg.generator.sample_rate, cfg.seed + 7)
@@ -203,7 +208,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                                        cfg.generator.sample_rate, cfg.seed + 7)
 
     batches = prefetch_batches(train_ds, cfg.batch_size,
-                               cfg.generator.msg_dimension, cfg.seed)
+                               cfg.generator.msg_dimension, data_seed)
     total = max_steps if max_steps is not None else cfg.num_iters
 
     pending: Optional[Tuple[Dict[str, Any], List[Tuple[str, Dict]]]] = None
