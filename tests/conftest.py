@@ -22,6 +22,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's cost is dominated by a handful of
+# multi-minute train/val-step CPU compiles; caching them makes repeat runs
+# (CI, local iteration) start warm. Keyed by HLO, so code changes that
+# alter the program miss naturally.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("WAVEVERIFY_TEST_CACHE",
+                                 "/tmp/waveverify_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
