@@ -183,6 +183,82 @@ class WaveVerify:
         x[0, :t] = audio
         return jnp.asarray(x), t
 
+    # -- chunked long-audio path ------------------------------------------------
+    #
+    # All three networks are causal (conf/base.yml `causal: true`): output at
+    # sample t depends only on inputs in [t - RF, t]. Audio longer than
+    # `long_threshold` is therefore processed in fixed hop-aligned chunks
+    # with `chunk_context` samples of real left context; outputs inside the
+    # context region are discarded, making every kept sample bit-exact vs
+    # the full-length computation (chunk starts are hop multiples, so conv
+    # framing and SpecBlock STFT phases line up with the monolithic run).
+    # One executable shape serves the entire stream -> O(1) device memory
+    # for unbounded audio, one compile.
+
+    long_threshold: int = 60 * 16000   # use chunking above this many samples
+    chunk_samples: int = 160000        # 10 s per chunk
+    chunk_context: int = 16000         # 1 s >> total causal receptive field
+
+    def _iter_chunks(self, audio: np.ndarray):
+        """Yield (window [1, W], keep_from, out_start, out_len) with
+        W = context + chunk fixed (one executable for the whole stream).
+
+        The first window starts at sample 0 and keeps its whole output —
+        prepending literal zeros would NOT reproduce the model's own
+        per-layer causal padding. Later windows start `context` samples
+        early on real audio and keep only the non-context region. The final
+        window is zero-padded on the right, exactly like the monolithic
+        path's bucket padding.
+        """
+        t = audio.shape[-1]
+        ctx, chunk = self.chunk_context, self.chunk_samples
+        w = ctx + chunk
+        s = 0
+        while s < t:
+            keep_from = 0 if s == 0 else ctx
+            lo = s - keep_from
+            piece = audio[lo:lo + w]
+            buf = np.zeros((1, w), np.float32)
+            buf[0, :piece.shape[-1]] = piece
+            out_len = min(w - keep_from, t - s)
+            yield jnp.asarray(buf), keep_from, s, out_len
+            s += out_len
+
+    def _embed_long(self, audio: np.ndarray, msg: jnp.ndarray) -> np.ndarray:
+        fn = self._generator_fn(self.chunk_context + self.chunk_samples)
+        out = np.empty_like(audio)
+        for x, keep, s, n in self._iter_chunks(audio):
+            _, w = fn(self.params, x, msg)
+            out[s:s + n] = np.asarray(w)[0, keep:keep + n]
+        return out
+
+    def _detect_long(self, audio: np.ndarray) -> Tuple[np.ndarray, float]:
+        """Returns (bit probs [nbits], confidence) — streaming time-average
+        of sigmoid(logits), identical to the full-length definition."""
+        key = ("detector_logits", self.chunk_context + self.chunk_samples)
+        if key not in self._apply_cache:
+            self._apply_cache[key] = jax.jit(
+                lambda p, a: jax.nn.sigmoid(
+                    self.models.apply_detector(p["detector"], a)
+                )
+            )
+        fn = self._apply_cache[key]
+        t = audio.shape[-1]
+        acc = None
+        for x, keep, s, n in self._iter_chunks(audio):
+            probs = np.asarray(fn(self.params, x))[0, keep:keep + n]  # [n, 16]
+            part = probs.sum(axis=0, dtype=np.float64)
+            acc = part if acc is None else acc + part
+        bit_probs = (acc / t).astype(np.float32)
+        return bit_probs, float(bit_probs.mean())
+
+    def _locate_long(self, audio: np.ndarray) -> np.ndarray:
+        fn = self._locator_fn(self.chunk_context + self.chunk_samples)
+        out = np.empty(audio.shape[-1], np.float32)
+        for x, keep, s, n in self._iter_chunks(audio):
+            out[s:s + n] = np.asarray(fn(self.params, x))[0, keep:keep + n]
+        return out
+
     # -- public API ------------------------------------------------------------
 
     def embed(self, audio_path: Union[str, Path],
@@ -192,10 +268,15 @@ class WaveVerify:
         """Embed a watermark (reference waveverify/core.py:476-543)."""
         wm = self._validate_watermark_id(watermark)
         audio, sr = load_audio(audio_path, self.sample_rate)
-        x, t = self._pad_bucket(audio)
         msg = jnp.asarray(message_to_tensor(wm.to_bits()))
-        _, watermarked = self._generator_fn(x.shape[-1])(self.params, x, msg)
-        out = np.asarray(watermarked)[0, :t]
+        if audio.shape[-1] > self.long_threshold:
+            out = self._embed_long(np.asarray(audio, np.float32).ravel(), msg)
+        else:
+            x, t = self._pad_bucket(audio)
+            _, watermarked = self._generator_fn(x.shape[-1])(
+                self.params, x, msg
+            )
+            out = np.asarray(watermarked)[0, :t]
         if output_path is not None:
             save_audio(out, output_path, sr)
         return out, sr, wm
@@ -209,7 +290,12 @@ class WaveVerify:
     def detect_array(self, audio: np.ndarray) -> Tuple[WatermarkID, float]:
         """Detection from an in-memory float32 array (TPU-side extension;
         the reference only accepts paths)."""
-        x, _t = self._pad_bucket(np.asarray(audio, np.float32).ravel())
+        audio = np.asarray(audio, np.float32).ravel()
+        if audio.shape[-1] > self.long_threshold:
+            bit_probs, conf = self._detect_long(audio)
+            bits = tensor_to_message(bit_probs[None, :])
+            return WatermarkID.custom(bits), conf
+        x, _t = self._pad_bucket(audio)
         probs, conf = self._detector_fn(x.shape[-1])(self.params, x)
         bits = tensor_to_message(np.asarray(probs))
         return WatermarkID.custom(bits), float(np.asarray(conf)[0])
@@ -222,6 +308,8 @@ class WaveVerify:
 
     def locate_array(self, audio: np.ndarray) -> np.ndarray:
         audio = np.asarray(audio, np.float32).ravel()
+        if audio.shape[-1] > self.long_threshold:
+            return self._locate_long(audio)
         x, t = self._pad_bucket(audio)
         mask = np.asarray(self._locator_fn(x.shape[-1])(self.params, x))[0]
         # the locator is sample-resolution already; trimming the bucket pad
