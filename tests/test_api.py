@@ -223,3 +223,26 @@ def test_chunked_long_audio_matches_monolithic():
         jax.nn.sigmoid(wv.models.apply_locator(wv.params["locator"], x))
     )[0, :t]
     np.testing.assert_allclose(mask_c, mask_full, atol=2e-5, rtol=1e-4)
+
+
+def test_batch_serving_over_mesh():
+    """use_mesh() shards embed_batch/detect_batch over the virtual 8-device
+    data mesh; outputs match the single-device batch path."""
+    import jax
+
+    wv = WaveVerify()
+    rng = np.random.RandomState(4)
+    audio = (rng.randn(8, 4800) * 0.1).astype(np.float32)
+    bits = rng.randint(0, 2, (8, 16)).astype(np.float32)
+
+    plain = wv.embed_batch(audio, bits)
+    d_bits_plain, d_conf_plain = wv.detect_batch(plain)
+
+    wv.use_mesh()
+    sharded = wv.embed_batch(audio, bits)
+    np.testing.assert_allclose(sharded, plain, atol=2e-5, rtol=1e-4)
+    # params/batch actually live on the mesh
+    assert wv._mesh is not None and wv._mesh.devices.size == len(jax.devices())
+    d_bits, d_conf = wv.detect_batch(sharded)
+    np.testing.assert_array_equal(d_bits, d_bits_plain)
+    np.testing.assert_allclose(d_conf, d_conf_plain, atol=2e-5)

@@ -102,6 +102,34 @@ class WaveVerify:
             state = create_train_state(self.config, jax.random.PRNGKey(seed),
                                        self.models)
             self.params = state.wm_params
+        self._mesh = None
+
+    # -- multi-chip serving ------------------------------------------------------
+
+    def use_mesh(self, mesh=None) -> "WaveVerify":
+        """Shard batched serving (`embed_batch`/`detect_batch`) over a data
+        mesh: batch dim split across chips, params replicated, collectives
+        over ICI. Single-clip methods stay single-device (a batch of one
+        can't shard). Pass a `jax.sharding.Mesh` or None for all devices.
+        Returns self for chaining."""
+        from waveverify_tpu.parallel import make_mesh, replicated_sharding
+
+        self._mesh = mesh if mesh is not None else make_mesh()
+        self._apply_cache.clear()
+        self.params = jax.device_put(
+            self.params, replicated_sharding(self._mesh)
+        )
+        return self
+
+    def _batch_shardings(self, n_batch_args: int):
+        """(in_shardings, batch_put) for a mesh-sharded batch fn, or None."""
+        if self._mesh is None:
+            return None
+        from waveverify_tpu.parallel import batch_sharding, replicated_sharding
+
+        repl = replicated_sharding(self._mesh)
+        batch = batch_sharding(self._mesh)
+        return (repl,) + (batch,) * n_batch_args, batch
 
     # -- checkpoint loading ---------------------------------------------------
 
@@ -327,17 +355,52 @@ class WaveVerify:
 
     def embed_batch(self, audio: np.ndarray, bits: np.ndarray) -> np.ndarray:
         """audio [B, T] float32, bits [B, 16] float32 -> watermarked [B, T].
-        One jitted call; shard over a data mesh for multi-chip serving."""
+        One jitted call; after `use_mesh()` the batch shards over the data
+        mesh (B must divide the device count)."""
         x = jnp.asarray(audio, jnp.float32)
-        _, watermarked = self._generator_fn(x.shape[-1])(
-            self.params, x, jnp.asarray(bits, jnp.float32)
-        )
+        b = jnp.asarray(bits, jnp.float32)
+        sh = self._batch_shardings(2)
+        if sh is None:
+            fn = self._generator_fn(x.shape[-1])
+        else:
+            in_sh, batch_put = sh
+            key = ("generator_mesh", x.shape[-1])
+            if key not in self._apply_cache:
+                def run(params, audio, msg):
+                    residual = self.models.apply_generator(
+                        params["generator"], audio, msg
+                    )
+                    return residual, residual + audio
+
+                self._apply_cache[key] = jax.jit(run, in_shardings=in_sh)
+            fn = self._apply_cache[key]
+            x = jax.device_put(x, batch_put)
+            b = jax.device_put(b, batch_put)
+        _, watermarked = fn(self.params, x, b)
         return np.asarray(watermarked)
 
     def detect_batch(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """audio [B, T] -> (bits [B, 16] int, confidence [B])."""
+        """audio [B, T] -> (bits [B, 16] int, confidence [B]). Shards over
+        the data mesh after `use_mesh()`."""
         x = jnp.asarray(audio, jnp.float32)
-        probs, conf = self._detector_fn(x.shape[-1])(self.params, x)
+        sh = self._batch_shardings(1)
+        if sh is None:
+            fn = self._detector_fn(x.shape[-1])
+        else:
+            in_sh, batch_put = sh
+            key = ("detector_mesh", x.shape[-1])
+            if key not in self._apply_cache:
+                def run(params, audio):
+                    logits = self.models.apply_detector(
+                        params["detector"], audio
+                    )
+                    probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)
+                    return probs, detector_confidence(logits)
+
+                self._apply_cache[key] = jax.jit(run, in_shardings=in_sh)
+            fn = self._apply_cache[key]
+            x = jax.device_put(x, batch_put)
+        probs, conf = fn(self.params, x)
         return (np.asarray(probs) > 0.5).astype(int), np.asarray(conf)
 
     # -- helpers ---------------------------------------------------------------
