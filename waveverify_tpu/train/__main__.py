@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--no-remat", action="store_true",
                     help="disable forward rematerialization (smaller HLO / "
                     "faster compile, higher HBM; use with smaller batches)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="override any config key (YAML syntax for values), "
+                    "e.g. --set AdamW.lr=2e-4 --set Generator.dimension=64 "
+                    "--set num_iters=100000 — same keys as conf/base.yml, "
+                    "flat dotted form included (argbind-style overrides)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-file", default="train_log.jsonl")
     ap.add_argument("--tensorboard", default=None, metavar="DIR",
@@ -75,6 +80,22 @@ def main() -> None:
         overrides["val_duration"] = args.val_duration
     if args.no_remat:
         overrides["remat"] = False
+    for kv in args.set:
+        if "=" not in kv:
+            ap.error(f"--set expects KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        import yaml
+
+        val = yaml.safe_load(v)
+        if isinstance(val, str):  # YAML 1.1 won't parse '2e-4' as float
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+        overrides[k.strip()] = val
     if args.debug_nans:
         import jax
 
