@@ -62,6 +62,7 @@ class Tracker:
         self.best_val_loss = float("inf")
         self.log_file = Path(log_file) if log_file else None
         self._t_last = time.perf_counter()
+        self._last_step: Optional[int] = None
         self._tb = None
         if tb_dir is not None:
             try:
@@ -73,8 +74,12 @@ class Tracker:
 
     def update(self, step: int, metrics: Dict[str, float]) -> Dict[str, float]:
         now = time.perf_counter()
-        metrics = dict(metrics, step_time=now - self._t_last)
+        # normalize by how many steps elapsed since the last update so
+        # step_time is per-step even when logging every N steps
+        d_steps = max(1, step - self._last_step) if self._last_step is not None else 1
+        metrics = dict(metrics, step_time=(now - self._t_last) / d_steps)
         self._t_last = now
+        self._last_step = step
         for k, v in metrics.items():
             if not np.isscalar(v) and getattr(v, "ndim", 1) != 0:
                 continue
