@@ -326,3 +326,57 @@ def test_train_loop_end_to_end(tmp_path):
         "initial state must be mesh-committed so step 2 reuses step 1's "
         "executable"
     )
+
+
+def test_multi_step_dispatch_matches_single(tmp_path):
+    """K steps per dispatch (lax.scan) is numerically identical to K=1:
+    the inner step folds the key with state.step, the data stream and
+    effect-index sequence are seed-deterministic, and the scan body IS the
+    single-step program."""
+    import dataclasses
+    import json
+
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    fx = tmp_path / "fx.yml"
+    fx.write_text(
+        "effect_param_grid:\n"
+        "  identity: {}\n"
+        "  random_noise:\n"
+        "    noise_std: {choices: [0.001]}\n"
+        "train_effects:\n"
+        "  - {name: identity, params: {}}\n"
+        "  - {name: random_noise, params: {noise_std: 0.001}}\n"
+        "eval_effects:\n"
+        "  - {name: identity, params: {}}\n"
+    )
+    cfg = dataclasses.replace(
+        tiny_config(B), num_iters=4, valid_freq=10**9, sample_freq=10**9,
+        train_duration=0.2, val_duration=0.2, val_batch_size=2, remat=False,
+    )
+
+    logs = {}
+    for k_disp in (1, 2):
+        log = tmp_path / f"log_k{k_disp}.jsonl"
+        trainer = TrainerConfig(
+            ckpt_dir=str(tmp_path / f"ckpt_k{k_disp}"),
+            log_file=str(log),
+            effects_config=str(fx),
+            dump_samples=False,
+            log_every=1,
+            num_devices=1,
+            steps_per_dispatch=k_disp,
+        )
+        train(cfg, trainer, max_steps=4)
+        logs[k_disp] = [json.loads(l) for l in log.read_text().splitlines()]
+
+    # the K=2 run logs steps 1 and 3 (last of each dispatch); compare loss
+    by_step_1 = {e["step"]: e for e in logs[1]}
+    by_step_2 = {e["step"]: e for e in logs[2]}
+    assert 3 in by_step_2, sorted(by_step_2)
+    for s in by_step_2:
+        if s in by_step_1 and "loss" in by_step_2[s]:
+            np.testing.assert_allclose(
+                by_step_2[s]["loss"], by_step_1[s]["loss"],
+                rtol=2e-4,
+            )

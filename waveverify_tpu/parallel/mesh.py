@@ -80,6 +80,28 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     )
 
 
+def shard_multi_step(multi_step: Callable, mesh: Mesh,
+                     donate_state: bool = True) -> Callable:
+    """jit a K-steps-per-dispatch train fn (see make_multi_train_step):
+    batch tensors are stacked [K, B, ...] with the batch (axis 1) sharded
+    on the data axis; state replicated + donated."""
+    repl = replicated_sharding(mesh)
+    stacked = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        multi_step,
+        in_shardings=(repl, stacked, stacked, stacked, repl),
+        out_shardings=None,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def shard_stacked_batch(mesh: Mesh, *arrays: Any):
+    """Device-put [K, B, ...] host arrays with batch axis 1 sharded."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
 def shard_batch(mesh: Mesh, *arrays: Any):
     """Device-put host arrays with the batch sharding (per-host slices in
     multi-host runs should already be local; this lays them out over ICI)."""

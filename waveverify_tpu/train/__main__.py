@@ -32,6 +32,9 @@ def main() -> None:
                     "this on compile-memory-constrained hosts)")
     ap.add_argument("--num-devices", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="K training steps per XLA call (lax.scan); "
+                    "amortizes remote-device dispatch latency K-fold")
     ap.add_argument("--pallas", default=None, choices=["auto", "on", "off"],
                     help="pallas kernel mode (default: auto, or the "
                     "WAVEVERIFY_PALLAS env var)")
@@ -120,6 +123,7 @@ def main() -> None:
         effects_config=args.effects_config,
         tensorboard_dir=args.tensorboard,
         pallas_mode=args.pallas,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

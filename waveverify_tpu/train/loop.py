@@ -33,6 +33,7 @@ from waveverify_tpu.parallel import (
     shard_batch,
     shard_train_step,
 )
+from waveverify_tpu.parallel.mesh import shard_multi_step, shard_stacked_batch
 from waveverify_tpu.train import checkpoint as ckpt
 from waveverify_tpu.train.data import (
     AudioFolderDataset,
@@ -41,7 +42,11 @@ from waveverify_tpu.train.data import (
     prefetch_batches,
 )
 from waveverify_tpu.train.state import TrainState, create_train_state
-from waveverify_tpu.train.step import make_train_step, make_val_step
+from waveverify_tpu.train.step import (
+    make_multi_train_step,
+    make_train_step,
+    make_val_step,
+)
 from waveverify_tpu.train.watermarking import WatermarkModels
 
 logger = logging.getLogger(__name__)
@@ -141,6 +146,11 @@ class TrainerConfig:
     # second-order GP); memory-tight remote compile services may need "off"
     # for training while inference keeps "auto".
     pallas_mode: Optional[str] = None
+    # K steps per XLA dispatch via lax.scan (same program size as one step;
+    # amortizes remote-device dispatch/fetch latency K-fold). Scheduler
+    # feedback/logging granularity becomes K steps, and the run length
+    # rounds up to a K multiple.
+    steps_per_dispatch: int = 1
 
 
 def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
@@ -188,7 +198,13 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     # would compile twice (fatal on memory-tight compile services).
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh)
+    if trainer.steps_per_dispatch > 1:
+        step_fn = shard_multi_step(
+            make_multi_train_step(models, cfg, bank,
+                                  trainer.steps_per_dispatch), mesh
+        )
+    else:
+        step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -227,21 +243,50 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             lambda p, a, m: forward_audio_sample(models, p, a, m)
         )
 
-    for step in range(start_step, total):
-        if trainer.profile_start is not None and step == trainer.profile_start:
+    K = max(1, int(trainer.steps_per_dispatch))
+    profiling = False
+    step = start_step
+    while step < total:
+        if (trainer.profile_start is not None and not profiling
+                and step >= trainer.profile_start
+                and (trainer.profile_stop is None
+                     or step < trainer.profile_stop)):
             jax.profiler.start_trace(str(Path(trainer.ckpt_dir) / "profile"))
-        if trainer.profile_stop is not None and step == trainer.profile_stop:
+            profiling = True
+        if (trainer.profile_stop is not None and profiling
+                and step >= trainer.profile_stop):
             jax.profiler.stop_trace()
+            profiling = False
 
-        audio, msg = next(batches)
-        idx, selections = scheduler.select_bank_indices(
-            cfg.batch_size, bank.specs,
-            match_reference_cap=trainer.match_reference_effect_cap,
-        )
-        audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
-        state, metrics = step_fn(state, audio_d, msg_d, idx_d, key)
+        if K == 1:
+            audio, msg = next(batches)
+            idx, selections = scheduler.select_bank_indices(
+                cfg.batch_size, bank.specs,
+                match_reference_cap=trainer.match_reference_effect_cap,
+            )
+            audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
+            state, metrics = step_fn(state, audio_d, msg_d, idx_d, key)
+            last_batch = (audio, msg)
+        else:
+            audios, msgs, idxs = [], [], []
+            selections = []
+            for _ in range(K):
+                a, m = next(batches)
+                i, sel = scheduler.select_bank_indices(
+                    cfg.batch_size, bank.specs,
+                    match_reference_cap=trainer.match_reference_effect_cap,
+                )
+                audios.append(a)
+                msgs.append(m)
+                idxs.append(i)
+                selections.append(sel)
+            audio_d, msg_d, idx_d = shard_stacked_batch(
+                mesh, np.stack(audios), np.stack(msgs), np.stack(idxs)
+            )
+            state, metrics = step_fn(state, audio_d, msg_d, idx_d, key)
+            last_batch = (audios[-1], msgs[-1])
 
-        # scheduler feedback, one step delayed (device still busy with N+1)
+        # scheduler feedback, one dispatch delayed (device busy with N+1)
         if pending is not None:
             _feed_scheduler(scheduler, *pending)
         pending = (
@@ -249,13 +294,22 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             selections,
         )
 
-        if step % trainer.log_every == 0:
-            host = {k: float(np.asarray(v)) for k, v in metrics.items()
-                    if np.asarray(v).ndim == 0}
-            tracker.update(step, host)
+        step_end = step + K  # K=1: this dispatch covered [step, step_end)
+        last_step = step_end - 1
+
+        if (step // max(trainer.log_every, 1)
+                != step_end // max(trainer.log_every, 1)) or step == start_step:
+            host = {}
+            for k_name, v in metrics.items():
+                arr = np.asarray(v)
+                if arr.ndim == 0:
+                    host[k_name] = float(arr)
+                elif K > 1 and arr.ndim == 1 and arr.shape[0] == K:
+                    host[k_name] = float(arr[-1])  # last step of the dispatch
+            tracker.update(last_step, host)
             logger.info(
                 "step %d loss %.4f dec %.4f loc %.4f ber %.4f miou %.4f",
-                step, host.get("loss", float("nan")),
+                last_step, host.get("loss", float("nan")),
                 host.get("dec/loss", float("nan")),
                 host.get("loc/loss", float("nan")),
                 host.get("train/ber", float("nan")),
@@ -263,16 +317,19 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             )
 
         if sample_fn is not None and (
-            (step + 1) % cfg.sample_freq == 0 or step + 1 == total
+            step // cfg.sample_freq != step_end // cfg.sample_freq
+            or step_end >= total
         ):
+            audio, msg = last_batch
             try:
                 _dump_audio_samples(sample_fn, state, audio, msg,
-                                    trainer.ckpt_dir, step + 1,
+                                    trainer.ckpt_dir, step_end,
                                     cfg.generator.sample_rate)
             except Exception:
                 logger.exception("audio sample dump failed; continuing")
 
-        if (step + 1) % cfg.valid_freq == 0 or step + 1 == total:
+        if (step // cfg.valid_freq != step_end // cfg.valid_freq
+                or step_end >= total):
             # validation must never kill a long run (the reference guards its
             # val/save paths the same way, scripts/train.py:1839-1882)
             vmetrics: Dict[str, float] = {}
@@ -283,15 +340,15 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 vkey = jax.random.fold_in(key, 1_000_000 + step)
                 vmetrics = {k: float(np.asarray(v)) for k, v in
                             val_fn(state, vaudio, vmsg, vkey).items()}
-                tracker.update(step, vmetrics)
-                logger.info("val @%d: %s", step + 1,
+                tracker.update(last_step, vmetrics)
+                logger.info("val @%d: %s", step_end,
                             {k: round(v, 4) for k, v in vmetrics.items()
                              if "/" not in k or k.count("/") == 1})
             except Exception:
                 logger.exception("validation failed at step %d; continuing",
-                                 step + 1)
+                                 step_end)
             host_state = {
-                "step": step + 1,
+                "step": step_end,
                 "scheduler_state": scheduler.state_dict(),
                 "best_val_loss": tracker.best_val_loss,
             }
@@ -304,14 +361,19 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                     host_state["best_val_loss"] = tracker.best_val_loss
                     ckpt.save_checkpoint(trainer.ckpt_dir, "best", state,
                                          host_state)
-                if (step + 1) in trainer.save_iters:
+                hit = [t for t in trainer.save_iters if step < t <= step_end]
+                if hit:
                     ckpt.save_checkpoint(trainer.ckpt_dir,
-                                         f"{(step + 1) // 1000}k", state,
+                                         f"{hit[-1] // 1000}k", state,
                                          host_state)
             except Exception:
                 logger.exception("checkpoint save failed at step %d; "
-                                 "continuing", step + 1)
+                                 "continuing", step_end)
 
+        step = step_end
+
+    if profiling:
+        jax.profiler.stop_trace()
     if pending is not None:
         _feed_scheduler(scheduler, *pending)
     tracker.close()
@@ -339,11 +401,19 @@ def _dump_audio_samples(sample_fn, state, audio: np.ndarray,
 
 
 def _feed_scheduler(scheduler: EffectScheduler, metrics: Dict[str, Any],
-                    selections: List[Tuple[str, Dict]]) -> None:
+                    selections) -> None:
     """Per-sample BER/mIoU -> scheduler EMA (reference
-    model/watermarking.py:697-753, one update per sample)."""
+    model/watermarking.py:697-753, one update per sample).
+
+    ``selections`` is one step's (name, params) list, or — with K steps per
+    dispatch — a list of K such lists with metrics stacked [K, B]."""
     bers = np.asarray(metrics["ber"])
     mious = np.asarray(metrics["miou"])
+    if selections and isinstance(selections[0], list):  # K-step dispatch
+        for k, sel in enumerate(selections):
+            _feed_scheduler(scheduler,
+                            {"ber": bers[k], "miou": mious[k]}, sel)
+        return
     for i, (name, params) in enumerate(selections):
         if i >= len(bers):
             break

@@ -196,6 +196,39 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(
+    models: WatermarkModels,
+    cfg: TrainConfig,
+    bank: EffectBank,
+    steps_per_dispatch: int,
+) -> Callable:
+    """K training steps per XLA call via ``lax.scan``.
+
+    The scan body is the single train step, so the compiled program is the
+    same size as one step — but dispatch/fetch latency (significant over a
+    remote-device tunnel) is paid once per K steps instead of every step.
+    Scheduler feedback granularity becomes K steps (the host consumes the
+    stacked per-sample metrics after each dispatch).
+
+    multi(state, audios [K,B,T], msgs [K,B,nbits], idxs [K,B], key)
+      -> (state', metrics with leaves stacked on a leading [K] axis)
+    """
+    step = make_train_step(models, cfg, bank)
+
+    def multi(state: TrainState, audios: jnp.ndarray, msgs: jnp.ndarray,
+              idxs: jnp.ndarray, key: jnp.ndarray):
+        def body(st, inp):
+            a, m, i = inp
+            # the inner step folds `key` with st.step, which increments
+            # every iteration — each scanned step gets fresh randomness
+            return step(st, a, m, i, key)
+
+        return jax.lax.scan(body, state, (audios, msgs, idxs),
+                            length=steps_per_dispatch)
+
+    return multi
+
+
 def make_val_step(
     models: WatermarkModels,
     cfg: TrainConfig,
