@@ -8,6 +8,10 @@ from waveverify_tpu.modules.conv import (
     SConv1d,
     SConvTranspose1d,
     CausalSTFT,
+    ConvLayerNorm,
+    NormConv1d,
+    NormConv2d,
+    NormConvTranspose1d,
     pad1d,
     unpad1d,
     get_extra_padding_for_conv1d,
@@ -26,6 +30,10 @@ __all__ = [
     "SConv1d",
     "SConvTranspose1d",
     "CausalSTFT",
+    "ConvLayerNorm",
+    "NormConv1d",
+    "NormConv2d",
+    "NormConvTranspose1d",
     "pad1d",
     "unpad1d",
     "get_extra_padding_for_conv1d",
