@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="K training steps per XLA call (lax.scan); "
                     "amortizes remote-device dispatch latency K-fold")
+    ap.add_argument("--conv-precision", default=None,
+                    choices=["highest", "high", "default"],
+                    help="MXU conv precision for training (default: highest "
+                    "= f32 accumulation; 'default' = bf16 passes, ~2x)")
     ap.add_argument("--pallas", default=None, choices=["auto", "on", "off"],
                     help="pallas kernel mode (default: auto, or the "
                     "WAVEVERIFY_PALLAS env var)")
@@ -124,6 +128,7 @@ def main() -> None:
         tensorboard_dir=args.tensorboard,
         pallas_mode=args.pallas,
         steps_per_dispatch=args.steps_per_dispatch,
+        conv_precision=args.conv_precision,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

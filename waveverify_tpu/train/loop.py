@@ -151,6 +151,10 @@ class TrainerConfig:
     # feedback/logging granularity becomes K steps, and the run length
     # rounds up to a K multiple.
     steps_per_dispatch: int = 1
+    # MXU precision for convs during training ("highest" = f32 accumulation
+    # for reference parity, the default; "default" = one-pass bf16 — ~2x
+    # conv throughput, run a BER-impact study before adopting)
+    conv_precision: Optional[str] = None
 
 
 def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
@@ -166,6 +170,10 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         from waveverify_tpu.ops.pallas_kernels import set_pallas_mode
 
         set_pallas_mode(trainer.pallas_mode)
+    if trainer.conv_precision is not None:
+        from waveverify_tpu.modules.conv import set_conv_precision
+
+        set_conv_precision(trainer.conv_precision)
     models = WatermarkModels.from_config(cfg)
     fx_cfg = load_effects_config(trainer.effects_config)
     bank = EffectBank(fx_cfg.train_effects, cfg.generator.sample_rate)
