@@ -380,3 +380,37 @@ def test_multi_step_dispatch_matches_single(tmp_path):
                 by_step_2[s]["loss"], by_step_1[s]["loss"],
                 rtol=2e-4,
             )
+
+
+def test_cli_flag_plumbing(monkeypatch):
+    """CLI flags reach TrainerConfig/TrainConfig without starting a run."""
+    import sys
+    from unittest import mock
+
+    import waveverify_tpu.train.__main__ as tm
+
+    seen = {}
+
+    def fake_train(cfg, trainer, max_steps=None, resume=False):
+        seen.update(cfg=cfg, trainer=trainer, max_steps=max_steps,
+                    resume=resume)
+
+    argv = ["prog", "--max-steps", "0", "--batch-size", "8",
+            "--no-remat", "--pallas", "off", "--steps-per-dispatch", "4",
+            "--conv-precision", "default", "--log-every", "7",
+            "--set", "AdamW.lr=2e-4", "--set", "Generator.dimension=64",
+            "--effects-config", "conf/effects_config.yml",
+            "--resume"]
+    monkeypatch.setattr(sys, "argv", argv)
+    with mock.patch("waveverify_tpu.train.loop.train", fake_train):
+        tm.main()
+
+    cfg, trainer = seen["cfg"], seen["trainer"]
+    assert cfg.batch_size == 8 and cfg.remat is False
+    assert cfg.optim.lr == 2e-4 and cfg.generator.dimension == 64
+    assert trainer.pallas_mode == "off"
+    assert trainer.steps_per_dispatch == 4
+    assert trainer.conv_precision == "default"
+    assert trainer.log_every == 7
+    assert trainer.effects_config == "conf/effects_config.yml"
+    assert seen["max_steps"] == 0 and seen["resume"] is True
