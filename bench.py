@@ -120,11 +120,13 @@ def main() -> None:
         # pallas can't lower for the CPU backend; the host baseline is the
         # plain XLA program (pallas_enabled() also checks default_device —
         # this is belt and braces for the driver's canonical run)
+        from waveverify_tpu.ops import pallas_kernels
         from waveverify_tpu.ops.pallas_kernels import set_pallas_mode
 
+        prior_mode = pallas_kernels._PALLAS_MODE  # may be a WAVEVERIFY_PALLAS override
         set_pallas_mode("off")
         cpu_tp = _throughput(cpu, args.cpu_batch, clip_len, args.cpu_iters)
-        set_pallas_mode("auto")
+        set_pallas_mode(prior_mode)
     else:
         cpu_tp = value  # already on CPU: ratio 1.0 by definition
 

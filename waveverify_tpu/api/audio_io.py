@@ -14,7 +14,7 @@ from typing import Tuple, Union
 
 import numpy as np
 
-from waveverify_tpu.train.data import read_wav, resample_poly
+from waveverify_tpu.train.data import resample_poly
 
 logger = logging.getLogger(__name__)
 
@@ -59,43 +59,16 @@ def load_audio(path: Union[str, Path],
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"audio file not found: {path}")
-    suffix = path.suffix.lower()
-    if suffix in (".wav", ".wave"):
-        audio, sr = read_wav(str(path))
-    else:
-        audio, sr = _load_via_soundfile_or_ffmpeg(path)
+    # dispatch on CONTENT, not extension (api/codecs.py): WAV + FLAC decode
+    # natively; the reference repo's own `.ogg` demo clips are RIFF data and
+    # load through the WAV fast path.
+    from waveverify_tpu.api.codecs import decode_auto
+
+    audio, sr = decode_auto(path)
     if sr != target_sample_rate:
         audio = resample_poly(audio, sr, target_sample_rate)
         sr = target_sample_rate
     return audio.astype(np.float32), sr
-
-
-def _load_via_soundfile_or_ffmpeg(path: Path) -> Tuple[np.ndarray, int]:
-    """Non-WAV formats: soundfile if present, else ffmpeg -> wav temp file.
-    (The reference leans on torchaudio's sox/ffmpeg backends the same way.)"""
-    try:
-        import soundfile as sf  # type: ignore
-
-        data, sr = sf.read(str(path), dtype="float32", always_2d=True)
-        return data.mean(axis=1).astype(np.float32), int(sr)
-    except ImportError:
-        pass
-    import shutil
-    import subprocess
-    import tempfile
-
-    if shutil.which("ffmpeg") is None:
-        raise RuntimeError(
-            f"cannot decode {path.suffix} without soundfile or ffmpeg; "
-            "convert to WAV first"
-        )
-    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-        subprocess.run(
-            ["ffmpeg", "-y", "-loglevel", "quiet", "-i", str(path),
-             "-ac", "1", tmp.name],
-            check=True,
-        )
-        return read_wav(tmp.name)
 
 
 def save_audio(audio: np.ndarray, path: Union[str, Path],

@@ -180,13 +180,25 @@ class WaveVerify:
         return self._apply_cache[key]
 
     def _detector_fn(self, length: int):
+        """Detector over a padded bucket, time-averaged over the REAL length.
+
+        ``t`` is a traced scalar: sigmoid(logits) is averaged over [0, t)
+        only, so bucket zero-padding (up to ~26% of the buffer at the 1.26x
+        bucket spacing) never dilutes bit probabilities or confidence. This
+        matches the reference's unpadded mean (waveverify/core.py:577-583)
+        and the `_detect_long` streaming definition — short and long audio
+        share one decision rule.
+        """
         key = ("detector", length)
         if key not in self._apply_cache:
             @jax.jit
-            def run(params, audio):
+            def run(params, audio, t):
                 logits = self.models.apply_detector(params["detector"], audio)
-                probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)  # [B, nbits]
-                conf = detector_confidence(logits)
+                probs = jax.nn.sigmoid(logits)  # [B, T, nbits]
+                valid = (jnp.arange(probs.shape[1]) < t)[None, :, None]
+                denom = jnp.maximum(t, 1).astype(probs.dtype)
+                probs = jnp.sum(probs * valid, axis=1) / denom  # [B, nbits]
+                conf = jnp.mean(probs, axis=1)
                 return probs, conf
 
             self._apply_cache[key] = run
@@ -323,8 +335,10 @@ class WaveVerify:
             bit_probs, conf = self._detect_long(audio)
             bits = tensor_to_message(bit_probs[None, :])
             return WatermarkID.custom(bits), conf
-        x, _t = self._pad_bucket(audio)
-        probs, conf = self._detector_fn(x.shape[-1])(self.params, x)
+        x, t = self._pad_bucket(audio)
+        probs, conf = self._detector_fn(x.shape[-1])(
+            self.params, x, jnp.int32(t)
+        )
         bits = tensor_to_message(np.asarray(probs))
         return WatermarkID.custom(bits), float(np.asarray(conf)[0])
 
@@ -385,7 +399,8 @@ class WaveVerify:
         x = jnp.asarray(audio, jnp.float32)
         sh = self._batch_shardings(1)
         if sh is None:
-            fn = self._detector_fn(x.shape[-1])
+            det = self._detector_fn(x.shape[-1])
+            fn = lambda params, a: det(params, a, jnp.int32(a.shape[-1]))
         else:
             in_sh, batch_put = sh
             key = ("detector_mesh", x.shape[-1])

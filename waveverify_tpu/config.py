@@ -196,6 +196,15 @@ class LossConfig:
     mel_clamp_eps: float = 1e-5
     mel_mag_weight: float = 0.0
     gp_weight: float = 10.0
+    # Perceptual-loss warmup (TPU-build training accelerator, OFF by
+    # default = exact reference weighting). When warmup_steps > 0 the
+    # perceptual weights (waveform/mel/stft/adv) are scaled by
+    # warmup_init_scale^(1 - step/warmup_steps): the generator first learns
+    # a loud, decodable watermark (the decoding/localization weights stay
+    # full), then the ramp squeezes it imperceptible. Cuts the BER-collapse
+    # phase from the reference's several-100k-step schedule to O(10k).
+    warmup_steps: int = 0
+    warmup_init_scale: float = 0.01
 
 
 @dataclass(frozen=True)
@@ -318,6 +327,11 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["mel_clamp_eps"] = float(mel["clamp_eps"])
     if "mag_weight" in mel:
         loss_kwargs["mel_mag_weight"] = float(mel["mag_weight"])
+    warm = _extract_section(raw, "warmup")
+    if "steps" in warm:
+        loss_kwargs["warmup_steps"] = int(warm["steps"])
+    if "init_scale" in warm:
+        loss_kwargs["warmup_init_scale"] = float(warm["init_scale"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

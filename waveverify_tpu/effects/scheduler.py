@@ -85,6 +85,11 @@ class EffectScheduler:
         )
         self.effect_usage_stats: Dict[str, int] = defaultdict(int)
         self.total_effects = 0
+        # metric-update counter for the every-100-updates EMA dump; persisted
+        # so the cadence continues across resume (the reference logs on its
+        # persistent update count)
+        self._updates = 0
+        self._warned_combos: set = set()
 
     # -- selection -----------------------------------------------------------
 
@@ -203,7 +208,7 @@ class EffectScheduler:
 
         # periodic behavior dump (reference model/watermarking.py:750-753
         # logs scheduler state every 100 metric updates)
-        self._updates = getattr(self, "_updates", 0) + 1
+        self._updates += 1
         if self._updates % 100 == 0:
             summary = {
                 name: {"ber": round(m["ber"], 4) if m["ber"] is not None else None,
@@ -278,7 +283,23 @@ class EffectScheduler:
             selections = selections[:batch_size]
         idx = np.zeros(batch_size, np.int32)
         for i, (name, params) in enumerate(selections):
-            idx[i] = lookup.get((name, make_hashable(params)), 0)
+            combo = (name, make_hashable(params))
+            branch = lookup.get(combo)
+            if branch is None:
+                # a YAML grid / bank drift would otherwise silently train
+                # with identity attacks while the scheduler believes the
+                # effect was applied — warn once per unknown combo
+                if combo not in self._warned_combos:
+                    self._warned_combos.add(combo)
+                    logger.warning(
+                        "scheduler selected %s%s which has no EffectBank "
+                        "branch — falling back to branch 0 (%s); check that "
+                        "the effects config grid matches the train bank",
+                        name, dict(params),
+                        bank_specs[0][0] if bank_specs else "?",
+                    )
+                branch = 0
+            idx[i] = branch
         return idx, selections
 
     # -- checkpoint state ---------------------------------------------------------
@@ -293,6 +314,7 @@ class EffectScheduler:
             },
             "effect_usage_stats": dict(self.effect_usage_stats),
             "total_effects": self.total_effects,
+            "updates": self._updates,
         }
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
@@ -302,6 +324,7 @@ class EffectScheduler:
             int, state.get("effect_usage_stats", {})
         )
         self.total_effects = state.get("total_effects", 0)
+        self._updates = state.get("updates", 0)
         import ast
 
         raw = state.get("parameter_success_rates", {})

@@ -106,7 +106,6 @@ def run_sweep(
             det = models.apply_detector(params["detector"], x)
             loc = models.apply_locator(params["locator"], x)
             bit_probs = jnp.mean(jax.nn.sigmoid(det), axis=1)  # [B, 16]
-            detected = jnp.mean(bit_probs > 0.5, axis=1)  # placeholder
             sample_ber = ber_fn(det, bits, m, per_sample=True)
             sample_miou = miou_fn(jax.nn.sigmoid(loc), m, per_sample=True)
             confidence = jnp.mean(jax.nn.sigmoid(det), axis=(1, 2))

@@ -73,7 +73,9 @@ def pallas_enabled() -> bool:
         # baseline on a TPU-attached host) must lower without pallas
         dd = jax.config.jax_default_device
         if dd is not None:
-            return getattr(dd, "platform", None) == "tpu"
+            # jax accepts either a Device or a platform string here
+            platform = dd if isinstance(dd, str) else getattr(dd, "platform", None)
+            return platform == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False

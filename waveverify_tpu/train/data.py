@@ -28,6 +28,10 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_SAMPLE_RATE = 16000
 WAV_SUFFIXES = (".wav", ".wave")
+# folder scan accepts anything the content-sniffing decoder might open
+# (api/codecs.py): extensions are advisory only — the reference repo's own
+# demo clips are RIFF data named `.ogg`
+AUDIO_SUFFIXES = WAV_SUFFIXES + (".flac", ".ogg", ".mp3", ".aiff", ".aif")
 
 
 def generate_random_message(rng: np.random.RandomState, batch_size: int,
@@ -105,7 +109,8 @@ class AudioFolderDataset:
                 logger.warning("data folder %s does not exist, skipping", p)
                 continue
             self.files.extend(
-                f for f in sorted(p.rglob("*")) if f.suffix.lower() in WAV_SUFFIXES
+                f for f in sorted(p.rglob("*"))
+                if f.suffix.lower() in AUDIO_SUFFIXES
             )
         if not self.files:
             raise ValueError(f"no WAV files found under {list(folders)}")
@@ -116,7 +121,9 @@ class AudioFolderDataset:
     def _load(self, path: Path) -> np.ndarray:
         if self.cache_audio and path in self._cache:
             return self._cache[path]
-        x, sr = read_wav(str(path))
+        from waveverify_tpu.api.codecs import decode_auto
+
+        x, sr = decode_auto(path)
         x = resample_poly(x, sr, self.sample_rate)
         if self.cache_audio:
             self._cache[path] = x

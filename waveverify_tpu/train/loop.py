@@ -77,14 +77,18 @@ class Tracker:
             except Exception as exc:  # optional dep, never fatal
                 logger.warning("TensorBoard unavailable (%s); JSONL only", exc)
 
-    def update(self, step: int, metrics: Dict[str, float]) -> Dict[str, float]:
+    def update(self, step: int, metrics: Dict[str, float],
+               include_time: bool = True) -> Dict[str, float]:
         now = time.perf_counter()
-        # normalize by how many steps elapsed since the last update so
-        # step_time is per-step even when logging every N steps
-        d_steps = max(1, step - self._last_step) if self._last_step is not None else 1
-        metrics = dict(metrics, step_time=(now - self._t_last) / d_steps)
+        if include_time:
+            # normalize by how many steps elapsed since the last update so
+            # step_time is per-step even when logging every N steps
+            d_steps = max(1, step - self._last_step) if self._last_step is not None else 1
+            metrics = dict(metrics, step_time=(now - self._t_last) / d_steps)
+            self._last_step = step
+        # always reset the clock so a long off-path update (validation,
+        # checkpointing) is not billed to the next train step's step_time
         self._t_last = now
-        self._last_step = step
         for k, v in metrics.items():
             if not np.isscalar(v) and getattr(v, "ndim", 1) != 0:
                 continue
@@ -348,7 +352,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 vkey = jax.random.fold_in(key, 1_000_000 + step)
                 vmetrics = {k: float(np.asarray(v)) for k, v in
                             val_fn(state, vaudio, vmsg, vkey).items()}
-                tracker.update(last_step, vmetrics)
+                tracker.update(last_step, vmetrics, include_time=False)
                 logger.info("val @%d: %s", step_end,
                             {k: round(v, 4) for k, v in vmetrics.items()
                              if "/" not in k or k.count("/") == 1})

@@ -117,6 +117,17 @@ def make_train_step(
         # ---- 3. generator losses vs the UPDATED discriminator -------------
         new_disc_apply = disc_apply_fn(disc_params)
 
+        # perceptual-loss warmup ramp (config.py LossConfig.warmup_steps;
+        # 1.0 when disabled). Traced from state.step — no recompiles.
+        if loss_cfg.warmup_steps > 0:
+            frac = jnp.clip(
+                jnp.asarray(state.step, jnp.float32) / loss_cfg.warmup_steps,
+                0.0, 1.0,
+            )
+            percep_scale = loss_cfg.warmup_init_scale ** (1.0 - frac)
+        else:
+            percep_scale = 1.0
+
         def g_loss_fn(fwd_outs):
             w = fwd_outs["watermarked"]
             logs: Dict[str, jnp.ndarray] = {}
@@ -142,10 +153,12 @@ def make_train_step(
                 fwd_outs["locator_logits"], fwd_outs["mask"]
             )
             total = (
-                loss_cfg.lambda_stft * logs["stft/loss"]
-                + loss_cfg.lambda_mel * logs["mel/loss"]
-                + loss_cfg.lambda_waveform * logs["waveform/loss"]
-                + loss_cfg.lambda_adv_gen * logs["adv/gen_loss"]
+                percep_scale * (
+                    loss_cfg.lambda_stft * logs["stft/loss"]
+                    + loss_cfg.lambda_mel * logs["mel/loss"]
+                    + loss_cfg.lambda_waveform * logs["waveform/loss"]
+                    + loss_cfg.lambda_adv_gen * logs["adv/gen_loss"]
+                )
                 + loss_cfg.lambda_dec * logs["dec/loss"]
                 + loss_cfg.lambda_loc * logs["loc/loss"]
             )
