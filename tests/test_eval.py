@@ -35,7 +35,8 @@ def test_run_sweep_structure(wv):
     audio = rng.randn(4, 4800).astype(np.float32) * 0.1
     effects = [[("identity", {})],
                [("random_noise", {"noise_std": 0.001})]]
-    results = run_sweep(wv, audio, seed=1, effects=effects)
+    results = run_sweep(wv, audio, seed=1, effects=effects,
+                        include_codecs=False)
     assert set(results) == {"identity", "random_noise(0.001)"}
     for tag, r in results.items():
         assert set(r) == {"ber", "tpr", "fpr", "miou", "confidence"}
@@ -107,3 +108,25 @@ class TestNativeSTOI:
 
         x = self._speech_like(0.2)  # < 30 frames after framing at 10 kHz
         assert native_stoi(x, x, 16000) == pytest.approx(1e-5)
+
+
+def test_codec_rows_report_honest_status(wv):
+    """mp3/aac/encodec rows must appear with real numbers when the codec
+    can run, or an explicit `unavailable` status — never silent
+    passthrough numbers (reference's fail-safe hid this,
+    utils/effect_augmentation.py:640-852)."""
+    from waveverify_tpu.effects.effects import codec_available
+
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 4800).astype(np.float32) * 0.1
+    results = run_sweep(wv, audio, seed=1, effects=[[("identity", {})]],
+                        include_codecs=True)
+    for codec, tag in (("mp3", "mp3(128k)"), ("aac", "aac(128k)"),
+                       ("encodec", "encodec")):
+        assert tag in results, sorted(results)
+        row = results[tag]
+        if codec_available(codec):
+            assert row["status"] == "measured" and "ber" in row
+        else:
+            assert row["status"].startswith("unavailable")
+            assert "ber" not in row

@@ -33,6 +33,7 @@ def test_identity_losses_zero():
     assert float(losses.mel_spectrogram_loss(x, x)) == 0.0
 
 
+@pytest.mark.slow
 def test_spectral_losses_positive_and_differentiable():
     x, y = pair()
     stft_l = float(losses.multi_scale_stft_loss(x, y))
@@ -96,6 +97,7 @@ def test_localization_loss():
     assert float(losses.localization_loss(-perfect[..., None], mask)) > 1.0
 
 
+@pytest.mark.slow
 def test_gan_losses_and_gradient_penalty():
     cfg = DiscriminatorConfig(periods=(2,), fft_sizes=(512,))
     disc = Discriminator(cfg)

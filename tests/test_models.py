@@ -64,6 +64,7 @@ def param_count(tree) -> int:
 
 
 @needs_ref
+@pytest.mark.slow
 def test_generator_parity():
     import torch
 
@@ -185,6 +186,7 @@ def test_locator_parity():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_full_size_param_counts():
     det = Detector(DetectorConfig())
     x = jnp.zeros((1, 320, 1))

@@ -101,6 +101,7 @@ def test_forward_train_shapes(setup):
     )
 
 
+@pytest.mark.slow
 def test_forward_audio_sample(setup):
     cfg, models, state, audio, msg, idx = setup
     residual, watermarked = forward_audio_sample(
@@ -110,6 +111,7 @@ def test_forward_audio_sample(setup):
                                np.asarray(residual) + audio, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(setup):
     """Two steps on the 8-device mesh: params change, metrics finite, and the
     decoding loss direction is sane."""
@@ -153,6 +155,7 @@ def test_val_step(setup):
     assert 0.0 <= float(np.asarray(out["val/miou"])) <= 1.0
 
 
+@pytest.mark.slow
 def test_forward_valid_sweep(setup):
     cfg, models, state, audio, msg, idx = setup
     out = forward_valid(models, state.wm_params, jax.random.PRNGKey(4),
@@ -223,6 +226,7 @@ def test_synthetic_dataset_and_messages():
     assert set(np.unique(msg)) <= {0.0, 1.0}
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(setup, tmp_path):
     from waveverify_tpu.train import checkpoint as ckpt
 
@@ -258,6 +262,7 @@ def test_wav_io_roundtrip(tmp_path):
     assert crop.shape == (4000,)
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     """Outer train() loop: effects YAML -> bank/scheduler, JSONL + optional
     TensorBoard sinks, checkpoint tags, resume metadata. Also guards the
@@ -328,6 +333,7 @@ def test_train_loop_end_to_end(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_matches_single(tmp_path):
     """K steps per dispatch (lax.scan) is numerically identical to K=1:
     the inner step folds the key with state.step, the data stream and

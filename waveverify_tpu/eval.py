@@ -41,6 +41,15 @@ EVAL_COMBINED = [
     [("bandpass_filter", {"cutoff_freq_low": 300, "cutoff_freq_high": 4000}),
      ("resample", {"new_sample_rate": 32000})],
 ]
+# external-codec rows (reference robustness table; host round-trips —
+# reference utils/effect_augmentation.py:640-852). Each row reports an
+# honest `status`: "measured" when the codec binary/weights exist in the
+# image, otherwise "unavailable" with no fake numbers.
+EVAL_CODECS = [
+    ("mp3", "mp3_lossy_compression", {"bitrate": "128k"}),
+    ("aac", "aac_lossy_compression", {"bitrate": "128k"}),
+    ("encodec", "encodec", {}),
+]
 
 
 def _effect_tag(chain: Sequence[Tuple[str, Dict]]) -> str:
@@ -57,6 +66,7 @@ def run_sweep(
     seed: int = 0,
     effects: Optional[List[List[Tuple[str, Dict]]]] = None,
     splice_fraction: float = 0.2,
+    include_codecs: bool = True,
 ) -> Dict[str, Dict[str, float]]:
     """audio [B, T] clean clips -> {effect_tag: {ber, tpr, fpr, miou, conf}}.
 
@@ -143,6 +153,49 @@ def run_sweep(
         logger.info("%-40s ber=%.4f tpr=%.3f fpr=%.3f miou=%.4f",
                     tag, *[results[tag][k] for k in
                            ("ber", "tpr", "fpr", "miou")])
+
+    if include_codecs:
+        from waveverify_tpu.effects.effects import codec_available
+
+        # detector/locator metrics for host-attacked audio, one jit reused
+        # across codec rows
+        @jax.jit
+        def measure(params, x, bits, mask):
+            det = models.apply_detector(params["detector"], x)
+            loc = models.apply_locator(params["locator"], x)
+            bit_probs = jnp.mean(jax.nn.sigmoid(det), axis=1)
+            return (ber_fn(det, bits, mask, per_sample=True),
+                    miou_fn(jax.nn.sigmoid(loc), mask, per_sample=True),
+                    bit_probs)
+
+        spliced_np = np.asarray(spliced)
+        for codec, fn_name, params_d in EVAL_CODECS:
+            tag = f"{codec}({params_d.get('bitrate', '')})".replace("()", "")
+            if not codec_available(codec):
+                results[tag] = {
+                    "status": f"unavailable: no {codec} "
+                    "encoder/weights in this image",
+                }
+                logger.info("%-40s %s", tag, results[tag]["status"])
+                continue
+            fn = getattr(AudioEffects, fn_name)
+            attacked, _ = fn(spliced_np, jnp.asarray(mask),
+                             jax.random.PRNGKey(seed),
+                             sample_rate=wv.sample_rate, **params_d)
+            sample_ber, sample_miou, bit_probs = measure(
+                params, jnp.asarray(attacked), jnp.asarray(bits),
+                jnp.asarray(mask),
+            )
+            decoded = (np.asarray(bit_probs) > 0.5).astype(np.float32)
+            results[tag] = {
+                "status": "measured",
+                "ber": float(np.mean(np.asarray(sample_ber))),
+                "tpr": float(np.mean((decoded == bits).all(axis=1))),
+                "miou": float(np.mean(np.asarray(sample_miou))),
+            }
+            logger.info("%-40s ber=%.4f tpr=%.3f miou=%.4f", tag,
+                        results[tag]["ber"], results[tag]["tpr"],
+                        results[tag]["miou"])
     return results
 
 
@@ -181,8 +234,11 @@ def main() -> None:
 
     print(f"\n{'effect':<42} {'BER':>7} {'TPR':>6} {'FPR':>6} {'MIoU':>7}")
     for tag, r in results.items():
-        print(f"{tag:<42} {r['ber']:>7.4f} {r['tpr']:>6.3f} "
-              f"{r['fpr']:>6.3f} {r['miou']:>7.4f}")
+        if "ber" not in r:  # codec row without a usable encoder
+            print(f"{tag:<42} {r.get('status', 'unavailable')}")
+            continue
+        print(f"{tag:<42} {r['ber']:>7.4f} {r.get('tpr', float('nan')):>6.3f} "
+              f"{r.get('fpr', float('nan')):>6.3f} {r['miou']:>7.4f}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f, indent=2)

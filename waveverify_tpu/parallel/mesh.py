@@ -95,16 +95,30 @@ def shard_multi_step(multi_step: Callable, mesh: Mesh,
     )
 
 
+def _put(sharding: NamedSharding, a: Any):
+    """Lay a host array out over the mesh. Single-process: plain
+    device_put. Multi-process: ``a`` is this host's LOCAL shard and the
+    global jax.Array is assembled from every process's contribution
+    (jax.make_array_from_process_local_data) — the JAX-native equivalent of
+    the reference's per-rank DistributedSampler slices
+    (reference scripts/train.py:875-876)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(a))
+    return jax.device_put(a, sharding)
+
+
 def shard_stacked_batch(mesh: Mesh, *arrays: Any):
-    """Device-put [K, B, ...] host arrays with batch axis 1 sharded."""
+    """[K, B, ...] host arrays with batch axis 1 sharded (local B slice per
+    process in multi-host runs)."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(_put(sh, a) for a in arrays)
     return out[0] if len(out) == 1 else out
 
 
 def shard_batch(mesh: Mesh, *arrays: Any):
-    """Device-put host arrays with the batch sharding (per-host slices in
-    multi-host runs should already be local; this lays them out over ICI)."""
+    """Host arrays with the batch sharding. Each process passes its own
+    local batch rows in multi-host runs; single-process passes the full
+    batch."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(_put(sh, a) for a in arrays)
     return out[0] if len(out) == 1 else out

@@ -39,6 +39,12 @@ def main() -> None:
                     choices=["highest", "high", "default"],
                     help="MXU conv precision for training (default: highest "
                     "= f32 accumulation; 'default' = bf16 passes, ~2x)")
+    ap.add_argument("--effect-dispatch", default="stack",
+                    choices=["stack", "scan"],
+                    help="EffectBank dispatch: 'stack' computes every branch "
+                    "and gathers (best for small banks); 'scan' runs one "
+                    "branch per sample via lax.switch (E-independent, for "
+                    "large grids — see docs/EFFECT_DISPATCH.md)")
     ap.add_argument("--pallas", default=None, choices=["auto", "on", "off"],
                     help="pallas kernel mode (default: auto, or the "
                     "WAVEVERIFY_PALLAS env var)")
@@ -54,6 +60,9 @@ def main() -> None:
     ap.add_argument("--log-file", default="train_log.jsonl")
     ap.add_argument("--tensorboard", default=None, metavar="DIR",
                     help="also mirror scalars to TensorBoard events in DIR")
+    ap.add_argument("--wandb", default=None, metavar="PROJECT",
+                    help="mirror metrics + audio samples to a wandb project "
+                    "(no-ops with a warning when wandb is not installed)")
     ap.add_argument("--profile-steps", default=None, metavar="START:STOP",
                     help="jax.profiler trace of steps [START, STOP) to "
                     "<ckpt-dir>/profile")
@@ -103,9 +112,22 @@ def main() -> None:
                 except ValueError:
                     pass
         overrides[k.strip()] = val
-    if args.debug_nans:
-        import jax
+    import os
 
+    import jax
+
+    # Persistent compile cache: the production train step takes tens of
+    # minutes to compile over the remote-TPU tunnel; caching it makes every
+    # restart/resume start hot. Keyed by HLO + topology, so config changes
+    # miss naturally. Override location with WAVEVERIFY_COMPILE_CACHE.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("WAVEVERIFY_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/waveverify_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
     profile_start = profile_stop = None
@@ -126,9 +148,11 @@ def main() -> None:
         dump_samples=not args.no_samples,
         effects_config=args.effects_config,
         tensorboard_dir=args.tensorboard,
+        wandb_project=args.wandb,
         pallas_mode=args.pallas,
         steps_per_dispatch=args.steps_per_dispatch,
         conv_precision=args.conv_precision,
+        effect_dispatch=args.effect_dispatch,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

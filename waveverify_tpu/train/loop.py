@@ -61,7 +61,9 @@ class Tracker:
     scripts/train.py:1939-1942; caller gates on process_index)."""
 
     def __init__(self, log_file: Optional[str] = None, ema: float = 0.99,
-                 tb_dir: Optional[str] = None):
+                 tb_dir: Optional[str] = None,
+                 wandb_project: Optional[str] = None,
+                 wandb_config: Optional[Dict] = None):
         self.ema = ema
         self.smoothed: Dict[str, float] = {}
         self.best_val_loss = float("inf")
@@ -69,6 +71,7 @@ class Tracker:
         self._t_last = time.perf_counter()
         self._last_step: Optional[int] = None
         self._tb = None
+        self._wandb = None
         if tb_dir is not None:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -76,6 +79,17 @@ class Tracker:
                 self._tb = SummaryWriter(tb_dir)
             except Exception as exc:  # optional dep, never fatal
                 logger.warning("TensorBoard unavailable (%s); JSONL only", exc)
+        if wandb_project is not None:
+            # reference logs metrics + audio to wandb
+            # (scripts/train.py:281-293, setup_run :2018-2040); optional-dep
+            # guarded the same way as TB — absence never fails a run
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project,
+                                         config=wandb_config or {})
+            except Exception as exc:
+                logger.warning("wandb unavailable (%s); JSONL/TB only", exc)
 
     def update(self, step: int, metrics: Dict[str, float],
                include_time: bool = True) -> Dict[str, float]:
@@ -105,11 +119,36 @@ class Tracker:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         return metrics
+
+    def log_audio(self, step: int, name: str, audio: np.ndarray,
+                  sample_rate: int) -> None:
+        """Mirror an audio sample to wandb/TB when those sinks are live
+        (reference logs samples to wandb, scripts/train.py:1829-1837)."""
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log(
+                    {name: wandb.Audio(audio, sample_rate=sample_rate)},
+                    step=step,
+                )
+            except Exception:
+                logger.exception("wandb audio log failed; continuing")
+        if self._tb is not None:
+            try:
+                self._tb.add_audio(name, audio.reshape(1, -1), step,
+                                   sample_rate=sample_rate)
+            except Exception:
+                logger.exception("TB audio log failed; continuing")
 
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
     def is_best(self, val_loss: float) -> bool:
         if val_loss < self.best_val_loss:
@@ -138,6 +177,10 @@ class TrainerConfig:
     # wav dumps of (clean, watermarked) pairs every cfg.sample_freq steps
     # (reference save_samples, scripts/train.py:1728-1846)
     dump_samples: bool = True
+    # EffectBank dispatch: "stack" (all branches, one-hot gather — best for
+    # small banks) or "scan" (per-sample lax.switch — E-independent work
+    # for large grids; see docs/EFFECT_DISPATCH.md crossover)
+    effect_dispatch: str = "stack"
     # effects YAML (conf/effects_config.yml schema); None tries the repo
     # default path and falls back to built-in defaults, exactly like the
     # reference's load_effects_config (model/watermarking.py:55-181)
@@ -145,6 +188,9 @@ class TrainerConfig:
     # TensorBoard event dir (scalars mirrored from the JSONL stream;
     # reference scripts/train.py:1939-1942 is rank-0 TB the same way)
     tensorboard_dir: Optional[str] = None
+    # wandb project (metrics + audio samples mirrored when the optional lib
+    # is importable; reference scripts/train.py:281-293, :1829-1837)
+    wandb_project: Optional[str] = None
     # Pallas kernel mode for this process ("auto"|"on"|"off"). The fused
     # resblock kernels inflate the train-step HLO (custom_vjp under remat +
     # second-order GP); memory-tight remote compile services may need "off"
@@ -180,7 +226,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         set_conv_precision(trainer.conv_precision)
     models = WatermarkModels.from_config(cfg)
     fx_cfg = load_effects_config(trainer.effects_config)
-    bank = EffectBank(fx_cfg.train_effects, cfg.generator.sample_rate)
+    bank = EffectBank(fx_cfg.train_effects, cfg.generator.sample_rate,
+                      dispatch=trainer.effect_dispatch)
     scheduler = EffectScheduler(
         effect_params=fx_cfg.effect_param_grid,
         beta=fx_cfg.beta,
@@ -188,10 +235,24 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         miou_threshold=fx_cfg.miou_threshold,
         rng=np.random.RandomState(cfg.seed + 1),
     )
+    # Multi-host: each process feeds its local slice of the global batch
+    # (assembled into one jax.Array by shard_batch); host-side artifacts
+    # (JSONL/TB/wandb, checkpoints, sample dumps, validation) are process-0
+    # only. The reference's DDP equivalent: per-rank DistributedSampler +
+    # LOCAL_RANK-gated logging (reference scripts/train.py:875-876, :2140).
+    n_proc = jax.process_count()
+    if cfg.batch_size % n_proc:
+        raise ValueError(f"batch_size {cfg.batch_size} must divide over "
+                         f"{n_proc} processes")
+    local_bs = cfg.batch_size // n_proc
+    is_proc0 = jax.process_index() == 0
     tracker = Tracker(
-        trainer.log_file,
-        tb_dir=(trainer.tensorboard_dir
-                if jax.process_index() == 0 else None),
+        trainer.log_file if is_proc0 else None,
+        tb_dir=trainer.tensorboard_dir if is_proc0 else None,
+        wandb_project=trainer.wandb_project if is_proc0 else None,
+        wandb_config={"batch_size": cfg.batch_size,
+                      "num_iters": cfg.num_iters,
+                      "lr": cfg.optim.lr},
     )
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -225,7 +286,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     # continues with fresh data instead of replaying from the beginning
     # (the reference fast-forwards its dataloader the same way,
     # scripts/train.py:1957 start_idx = step * batch_size).
-    data_seed = cfg.seed + start_step
+    data_seed = cfg.seed + start_step + 7919 * jax.process_index()
     if trainer.train_folders:
         train_ds = AudioFolderDataset(trainer.train_folders, cfg.train_duration,
                                       cfg.generator.sample_rate, data_seed)
@@ -240,7 +301,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         val_ds = SyntheticAudioDataset(cfg.val_duration,
                                        cfg.generator.sample_rate, cfg.seed + 7)
 
-    batches = prefetch_batches(train_ds, cfg.batch_size,
+    batches = prefetch_batches(train_ds, local_bs,
                                cfg.generator.msg_dimension, data_seed)
     total = max_steps if max_steps is not None else cfg.num_iters
 
@@ -273,7 +334,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         if K == 1:
             audio, msg = next(batches)
             idx, selections = scheduler.select_bank_indices(
-                cfg.batch_size, bank.specs,
+                local_bs, bank.specs,
                 match_reference_cap=trainer.match_reference_effect_cap,
             )
             audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
@@ -285,7 +346,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             for _ in range(K):
                 a, m = next(batches)
                 i, sel = scheduler.select_bank_indices(
-                    cfg.batch_size, bank.specs,
+                    local_bs, bank.specs,
                     match_reference_cap=trainer.match_reference_effect_cap,
                 )
                 audios.append(a)
@@ -334,16 +395,20 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         ):
             audio, msg = last_batch
             try:
-                _dump_audio_samples(sample_fn, state, audio, msg,
-                                    trainer.ckpt_dir, step_end,
-                                    cfg.generator.sample_rate)
+                if is_proc0:
+                    _dump_audio_samples(sample_fn, _local_state(state),
+                                        audio, msg, trainer.ckpt_dir,
+                                        step_end, cfg.generator.sample_rate,
+                                        tracker=tracker)
             except Exception:
                 logger.exception("audio sample dump failed; continuing")
 
-        if (step // cfg.valid_freq != step_end // cfg.valid_freq
-                or step_end >= total):
+        if is_proc0 and (step // cfg.valid_freq != step_end // cfg.valid_freq
+                         or step_end >= total):
             # validation must never kill a long run (the reference guards its
-            # val/save paths the same way, scripts/train.py:1839-1882)
+            # val/save paths the same way, scripts/train.py:1839-1882).
+            # process-0 only: val_fn is a host-local program (no mesh
+            # shardings) and checkpoint writes must not race across hosts.
             vmetrics: Dict[str, float] = {}
             try:
                 vaudio = val_ds.batch(cfg.val_batch_size)
@@ -351,7 +416,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                                                cfg.generator.msg_dimension)
                 vkey = jax.random.fold_in(key, 1_000_000 + step)
                 vmetrics = {k: float(np.asarray(v)) for k, v in
-                            val_fn(state, vaudio, vmsg, vkey).items()}
+                            val_fn(_local_state(state), vaudio, vmsg,
+                                   vkey).items()}
                 tracker.update(last_step, vmetrics, include_time=False)
                 logger.info("val @%d: %s", step_end,
                             {k: round(v, 4) for k, v in vmetrics.items()
@@ -392,12 +458,22 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     return state
 
 
+def _local_state(state: TrainState) -> TrainState:
+    """Host-local view of a (replicated) global TrainState: multi-host
+    global arrays can't feed host-local jit programs (validation, sample
+    dumps), so pull the replica to host numpy. Single-process: identity."""
+    if jax.process_count() == 1:
+        return state
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), state)
+
+
 def _dump_audio_samples(sample_fn, state, audio: np.ndarray,
                         msg: np.ndarray, ckpt_dir: str, step: int,
-                        sample_rate: int, n: int = 2) -> None:
+                        sample_rate: int, n: int = 2,
+                        tracker: Optional[Tracker] = None) -> None:
     """Write n (clean, watermarked) wav pairs — the reference's
-    save_samples equivalent (scripts/train.py:1728-1846) without the
-    wandb/TensorBoard dependency."""
+    save_samples equivalent (scripts/train.py:1728-1846); pairs are also
+    mirrored to wandb/TB when those sinks are live."""
     from waveverify_tpu.api.audio_io import save_audio
 
     out_dir = Path(ckpt_dir) / "samples" / f"step_{step}"
@@ -408,6 +484,9 @@ def _dump_audio_samples(sample_fn, state, audio: np.ndarray,
         save_audio(audio[i], out_dir / f"{i}_clean.wav", sample_rate)
         save_audio(watermarked[i], out_dir / f"{i}_watermarked.wav",
                    sample_rate)
+        if tracker is not None:
+            tracker.log_audio(step, f"samples/{i}_watermarked",
+                              watermarked[i], sample_rate)
     logger.info("wrote %d audio sample pairs to %s", min(n, len(audio)),
                 out_dir)
 
