@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Export the round-2 demo checkpoint to weights/ and run the robustness
+# sweep against it (writes weights/demo_eval_sweep.json).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CKPT=${CKPT:-checkpoints/demo_r2}
+OUT=${OUT:-weights/waveverify_demo.npz}
+
+python - <<EOF
+import jax
+from waveverify_tpu.api.core import WaveVerify
+from waveverify_tpu.convert import save_weights_npz
+wv = WaveVerify(checkpoint_path="${CKPT}/latest")
+p = save_weights_npz(wv.params, "${OUT}")
+print("wrote", p)
+EOF
+
+python -m waveverify_tpu.eval \
+  --checkpoint "$OUT" \
+  --batch 16 --duration 5.0 \
+  --json-out weights/demo_eval_sweep.json
