@@ -61,6 +61,11 @@ class GeneratorConfig:
     # `spec_learnable_effective` to honor the flag.
     spec_learnable: bool = True
     spec_learnable_effective: bool = False
+    # FiLM gamma-layer bias init. 0.0 = reference init (modulated bands
+    # start scaled by ~0); 1.0 starts from identity-like modulation, which
+    # accelerates message-channel formation (training-side improvement,
+    # does not affect converted-checkpoint inference).
+    film_gamma_bias: float = 0.0
     pad_mode: str = "constant"
     causal: bool = True
     zero_init: bool = False
@@ -216,6 +221,11 @@ class OptimConfig:
     beta2: float = 0.99
     exp_gamma: float = 0.999996
     max_grad_norm: float = 10.0
+    # LR multiplier for the detector subtree of the watermarking optimizer
+    # (1.0 = reference: one AdamW over generator+detector+locator). The
+    # reading side adapting faster than the writing side helps escape the
+    # no-bit-channel saddle (see docs/TRAINING.md).
+    detector_lr_mult: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -344,6 +354,8 @@ def load_config(path: Union[str, Path, None] = None,
         optim_kwargs["beta2"] = float(adamw["betas"][1])
     if "gamma" in explr:
         optim_kwargs["exp_gamma"] = float(explr["gamma"])
+    if "detector_lr_mult" in adamw:
+        optim_kwargs["detector_lr_mult"] = float(adamw["detector_lr_mult"])
     optim = OptimConfig(**optim_kwargs)
 
     top: Dict[str, Any] = {}

@@ -73,6 +73,7 @@ class Generator(nn.Module):
             inout_norm=g.inout_norm,
             embedding_dim=g.embedding_dim,
             embedding_layers=g.embedding_layers,
+            film_gamma_bias=g.film_gamma_bias,
             freq_bands=g.freq_bands,
         )
         self.decoder = SEANetDecoder(

@@ -56,7 +56,27 @@ def make_optimizers(cfg: OptimConfig) -> Tuple[optax.GradientTransformation,
             eps=1e-8, weight_decay=0.01,
         )
 
-    return make(cfg.lr), make(cfg.lr)
+    if cfg.detector_lr_mult != 1.0:
+        # Per-subtree LR for the watermarking optimizer. Labels are the
+        # top-level param-tree keys ("generator"/"detector"/"locator") so the
+        # transform follows the tree structure without hard-coding leaves.
+        def label_fn(params):
+            return {
+                k: jax.tree_util.tree_map(lambda _: k, v)
+                for k, v in params.items()
+            }
+
+        wm_tx = optax.multi_transform(
+            {
+                "generator": make(cfg.lr),
+                "detector": make(cfg.lr * cfg.detector_lr_mult),
+                "locator": make(cfg.lr),
+            },
+            label_fn,
+        )
+    else:
+        wm_tx = make(cfg.lr)
+    return wm_tx, make(cfg.lr)
 
 
 def clip_by_global_norm(grads: Any, max_norm: float) -> Tuple[Any, jnp.ndarray]:
