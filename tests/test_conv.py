@@ -167,3 +167,43 @@ def test_causal_stft_parity(n_fft, hop):
         yt = tm(torch.from_numpy(x)).numpy()  # (B, F, frames)
     yj = np.asarray(m.apply(params, jnp.asarray(x)))  # (B, frames, F)
     np.testing.assert_allclose(yj.transpose(0, 2, 1), yt, atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+@pytest.mark.parametrize("k,s,p,op,groups", [
+    ((4, 4), (2, 2), (1, 1), (0, 0), 1),
+    ((3, 5), (1, 2), (0, 1), (0, 1), 1),
+    ((4, 4), (2, 2), (0, 0), (0, 0), 4),
+])
+def test_norm_convtr2d_parity(k, s, p, op, groups):
+    """NormConvTranspose2d vs torch ConvTranspose2d + weight_norm
+    (reference modules/conv.py:579-625)."""
+    import torch
+    from torch.nn.utils import weight_norm
+
+    from waveverify_tpu.modules.conv import NormConvTranspose2d
+
+    cin, cout = 8, 8
+    tm = weight_norm(torch.nn.ConvTranspose2d(
+        cin, cout, k, stride=s, padding=p, output_padding=op, groups=groups,
+        bias=True))
+    tm.eval()
+
+    m = NormConvTranspose2d(features=cout, kernel_size=k, stride=s,
+                            padding=p, output_padding=op, groups=groups,
+                            use_bias=True, norm="weight_norm")
+    x = rng(2, 9, 11, cin, seed=6)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    pm = jax.tree_util.tree_map(np.asarray, params["params"])
+    with torch.no_grad():
+        w = tm.weight.detach().numpy()  # (Cin, Cout/g, Kh, Kw)
+    pm["v"] = w.astype(np.float32)
+    pm["g"] = np.sqrt((w.astype(np.float64) ** 2).sum(axis=(1, 2, 3))).astype(
+        np.float32)
+    pm["b"] = tm.bias.detach().numpy().astype(np.float32)
+
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    yj = np.asarray(m.apply({"params": pm}, jnp.asarray(x)))
+    np.testing.assert_allclose(yj.transpose(0, 3, 1, 2), yt,
+                               atol=2e-5, rtol=1e-4)

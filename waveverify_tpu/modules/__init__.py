@@ -12,6 +12,7 @@ from waveverify_tpu.modules.conv import (
     NormConv1d,
     NormConv2d,
     NormConvTranspose1d,
+    NormConvTranspose2d,
     pad1d,
     unpad1d,
     get_extra_padding_for_conv1d,
@@ -34,6 +35,7 @@ __all__ = [
     "NormConv1d",
     "NormConv2d",
     "NormConvTranspose1d",
+    "NormConvTranspose2d",
     "pad1d",
     "unpad1d",
     "get_extra_padding_for_conv1d",

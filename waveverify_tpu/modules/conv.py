@@ -520,6 +520,120 @@ def _conv_transpose1d_matmul(
     return out
 
 
+class NormConvTranspose2d(nn.Module):
+    """ConvTranspose2d with weight parametrization, NHWC layout.
+
+    Completes the reference's conv-wrapper catalog (modules/conv.py:579-625;
+    unused by any shipped model but part of the public module surface).
+    Parameter ``v`` keeps the torch layout ``(Cin, Cout // groups, Kh, Kw)``
+    so weight-norm matches torch ``weight_norm(dim=0)`` on a transposed
+    conv: ``g`` has shape ``(Cin,)`` and normalizes over (Cout//g, Kh, Kw).
+    ``padding`` / ``output_padding`` follow torch semantics (symmetric crop
+    of the full padding=0 output).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    output_padding: Tuple[int, int] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    norm: str = "none"
+    norm_kwargs: Dict[str, Any] = None
+    nonlinearity: str = "linear"
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.norm not in CONV_NORMALIZATIONS:
+            raise ValueError(f"invalid norm: {self.norm}")
+        in_features = x.shape[-1]
+        if in_features % self.groups or self.features % self.groups:
+            raise ValueError("channels must be divisible by groups")
+        kh, kw = self.kernel_size
+        kshape = (in_features, self.features // self.groups, kh, kw)
+        # torch kaiming on transposed conv: fan over dims 1..3
+        fan_in = kshape[1] * kh * kw
+        std = _kaiming_normal_std(fan_in, self.nonlinearity)
+        v = self.param(
+            "v", nn.initializers.normal(stddev=std, dtype=self.param_dtype), kshape
+        )
+
+        if self.norm == "weight_norm":
+            def g_init(key, shape, dtype=self.param_dtype):
+                del key
+                return jnp.sqrt(
+                    jnp.sum(v.astype(jnp.float32) ** 2, axis=(1, 2, 3))
+                ).astype(dtype)
+
+            g = self.param("g", g_init, (in_features,))
+            norm_v = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2, 3), keepdims=True))
+            w = v * (g[:, None, None, None] / norm_v)
+        elif self.norm == "weight_standardization":
+            eps = (self.norm_kwargs or {}).get("eps", 1e-7)
+            g = self.param("g", nn.initializers.ones, (in_features, 1, 1, 1))
+            mean = jnp.mean(v, axis=(1, 2, 3), keepdims=True)
+            var = jnp.var(v, axis=(1, 2, 3), keepdims=True)
+            w = g * (v - mean) * jax.lax.rsqrt(jnp.maximum(var * float(fan_in), eps))
+        elif self.norm == "none":
+            w = v
+        else:
+            raise NotImplementedError(f"norm '{self.norm}' unsupported for 2d")
+
+        y = conv_transpose2d(
+            x, w.astype(x.dtype), stride=self.stride, groups=self.groups,
+            dilation=self.dilation,
+        )
+        ph, pw = self.padding
+        oph, opw = self.output_padding
+        if ph or pw or oph or opw:
+            h, wdt = y.shape[1], y.shape[2]
+            y = y[:, ph:h - ph + oph, pw:wdt - pw + opw, :]
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+def conv_transpose2d(
+    x: jnp.ndarray,
+    w_torch: jnp.ndarray,
+    stride: Tuple[int, int],
+    groups: int = 1,
+    dilation: Tuple[int, int] = (1, 1),
+) -> jnp.ndarray:
+    """Exact torch-semantics ConvTranspose2d (padding=0) in NHWC layout.
+
+    ``w_torch``: (Cin, Cout // groups, Kh, Kw). Output spatial size per dim:
+    ``(L - 1) * stride + dilation * (K - 1) + 1``. Lowers to one
+    `conv_general_dilated` with lhs dilation = stride over a flipped,
+    group-wise transposed kernel (the same XLA formulation as the 1d
+    generic path above — this wrapper has no model hot path, so no
+    matmul-decomposition fast path is carved out).
+    """
+    cin, coutg, kh, kw = w_torch.shape
+    cing = cin // groups
+    w = jnp.flip(w_torch, axis=(-2, -1))
+    # (Cin, Cout/g, Kh, Kw) -> (g, Cin/g, Cout/g, Kh, Kw) -> HWIO
+    w = w.reshape(groups, cing, coutg, kh, kw)
+    w = jnp.transpose(w, (3, 4, 1, 0, 2)).reshape(kh, kw, cing, groups * coutg)
+    kh_eff = dilation[0] * (kh - 1) + 1
+    kw_eff = dilation[1] * (kw - 1) + 1
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=[(kh_eff - 1, kh_eff - 1), (kw_eff - 1, kw_eff - 1)],
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=conv_precision(),
+    )
+
+
 def fused_upsample_head(
     rc: "NormConvTranspose1d",
     ll: "NormConv1d",
