@@ -210,6 +210,14 @@ class LossConfig:
     # phase from the reference's several-100k-step schedule to O(10k).
     warmup_steps: int = 0
     warmup_init_scale: float = 0.01
+    # Auxiliary decoding loss on the CLEAN watermarked audio (no
+    # localization augmentation, no attacks; target = message everywhere).
+    # 0.0 = reference parity (decoding loss only on the attacked path,
+    # scripts/loss.py:1021-1099). A nonzero weight gives the
+    # generator<->detector pair an undistorted gradient channel while the
+    # message code forms — the standard two-term decode objective of recent
+    # audio-watermark recipes — and costs one extra detector forward.
+    lambda_dec_clean: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -311,7 +319,9 @@ def load_config(path: Union[str, Path, None] = None,
     disc = _build(DiscriminatorConfig, _extract_section(raw, "Discriminator"))
 
     loss_kwargs: Dict[str, Any] = {}
-    lambdas = raw.get("lambdas", {})
+    # nested `lambdas: {...}` plus flat `lambdas.dec/loss:` keys (the flat
+    # form is what `--set lambdas.dec/loss_clean=...` produces)
+    lambdas = _extract_section(raw, "lambdas")
     lam_map = {
         "waveform/loss": "lambda_waveform",
         "mel/loss": "lambda_mel",
@@ -319,6 +329,7 @@ def load_config(path: Union[str, Path, None] = None,
         "adv/gen_loss": "lambda_adv_gen",
         "loc/loss": "lambda_loc",
         "dec/loss": "lambda_dec",
+        "dec/loss_clean": "lambda_dec_clean",
     }
     for k, v in (lambdas or {}).items():
         if k in lam_map:

@@ -94,6 +94,7 @@ def make_train_step(
                 models, wm_params, k_fwd, audio, msg, effect_idx, bank,
                 sample_rate=sr, window_duration=cfg.window_duration,
                 remat=cfg.remat,
+                clean_detector=loss_cfg.lambda_dec_clean > 0,
             )
 
         outs, fwd_vjp = jax.vjp(fwd, state.wm_params)
@@ -162,6 +163,13 @@ def make_train_step(
                 + loss_cfg.lambda_dec * logs["dec/loss"]
                 + loss_cfg.lambda_loc * logs["loc/loss"]
             )
+            if loss_cfg.lambda_dec_clean > 0:
+                logs["dec/loss_clean"] = decoding_loss(
+                    fwd_outs["detector_logits_clean"],
+                    jnp.ones_like(fwd_outs["mask"]), msg,
+                )
+                total = total + (loss_cfg.lambda_dec_clean
+                                 * logs["dec/loss_clean"])
             logs["loss"] = total
             return total, logs
 

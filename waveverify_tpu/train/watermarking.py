@@ -87,6 +87,7 @@ def forward_train(
     sample_rate: int = 16000,
     window_duration: float = 0.1,
     remat: bool = True,
+    clean_detector: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Training-phase forward (reference model/watermarking.py:340-421).
 
@@ -143,6 +144,21 @@ def forward_train(
 
     detector_logits = apply_det(wm_params["detector"], fx_audio)
     locator_logits = apply_loc(wm_params["locator"], fx_audio)
+
+    if clean_detector:
+        # un-augmented, un-attacked read path (LossConfig.lambda_dec_clean):
+        # watermark present everywhere, so the loss target is the message
+        # broadcast over all frames
+        clean_logits = apply_det(wm_params["detector"], watermarked)
+        return {
+            "residual": residual,
+            "watermarked": watermarked,
+            "mask": mask,
+            "detector_logits": detector_logits,
+            "detector_logits_clean": clean_logits,
+            "locator_logits": locator_logits,
+            "updated_original": updated_original,
+        }
 
     return {
         "residual": residual,
