@@ -55,9 +55,15 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--sizes", type=int, nargs="*",
                     default=[3, 6, 9, 15, 24, 33])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (lets the bench run while "
+                         "the TPU is occupied by a training job)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

@@ -12,13 +12,13 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== stop trainer =="
-if [ -f /tmp/train_r2b.pid ] && kill -0 "$(cat /tmp/train_r2b.pid)" 2>/dev/null; then
-  kill "$(cat /tmp/train_r2b.pid)"
+if [ -f /tmp/train_r2c.pid ] && kill -0 "$(cat /tmp/train_r2c.pid)" 2>/dev/null; then
+  kill "$(cat /tmp/train_r2c.pid)"
   sleep 10
 fi
 
 echo "== export + sweep =="
-CKPT=checkpoints/demo_r2b timeout 1800 bash scripts/export_and_eval_r2.sh \
+CKPT=checkpoints/demo_r2c timeout 1800 bash scripts/export_and_eval_r2.sh \
   || echo "EXPORT/SWEEP FAILED rc=$?"
 
 echo "== dispatch bench (TPU) =="
