@@ -3,26 +3,37 @@
 #
 # Recipe notes (measured on this host class):
 # - --no-remat --pallas off: the remote compile helper SIGKILLs on the
-#   remat'd/pallas train-step HLO (docs/ROADMAP.md); batch 24 fits HBM
-#   without remat (~12 GB peak).
+#   remat'd/pallas train-step HLO (docs/ROADMAP.md); the scan effect
+#   dispatch also tips the helper over — keep the default stack dispatch.
+# - batch MUST be a multiple of 8 (v5e tiles the batch dim by 8: batch 20
+#   pads to 24 and saves nothing). With lambdas.dec/loss_clean adding a
+#   second detector pass, batch 16 @ 0.9 s clips is the largest config
+#   that fits 16 GB HBM without remat (batch 16 @ 1.0 s missed by 10 MB).
 # - warmup.steps=6000: perceptual-loss ramp (config.py LossConfig) so the
 #   message channel forms before imperceptibility squeezes it.
+# - film_gamma_bias=1 + detector_lr_mult=10 + lambdas.dec/loss_clean:
+#   saddle-escape set (see docs/TRAINING.md); the A/B overfit probe shows
+#   BER 0 in 120 steps with these vs 0.22+ at 360 without.
 # - valid_freq 1000 doubles as the checkpoint cadence -> resume-safe with
 #   --resume after any interruption.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-CKPT=${CKPT:-checkpoints/demo_r2}
+CKPT=${CKPT:-checkpoints/demo_r2c}
 STEPS=${STEPS:-60000}
 RESUME=${RESUME:-}
 
 exec python -m waveverify_tpu.train \
   --ckpt-dir "$CKPT" \
-  --batch-size 24 \
+  --batch-size 16 \
   --no-remat --pallas off \
   --max-steps "$STEPS" \
   --log-every 50 \
+  --set train_duration=0.9 \
   --set warmup.steps=6000 --set warmup.init_scale=0.01 \
   --set valid_freq=1000 \
   --set sample_freq=10000 \
+  --set Generator.film_gamma_bias=1.0 \
+  --set AdamW.detector_lr_mult=10 \
+  --set lambdas.dec/loss_clean=10000 \
   $RESUME
