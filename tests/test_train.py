@@ -244,6 +244,15 @@ def test_checkpoint_roundtrip(setup, tmp_path):
                     jax.tree_util.tree_leaves(restored.wm_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # params-only restore must work WITHOUT a TrainState template, so
+    # inference loads succeed even when the checkpoint was trained with a
+    # different optimizer structure (e.g. AdamW.detector_lr_mult changes
+    # the optax chain pytree — regression for the r2c export failure)
+    params = ckpt.load_params(str(tmp_path), "latest")
+    for a, b in zip(jax.tree_util.tree_leaves(state.wm_params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_wav_io_roundtrip(tmp_path):
     from waveverify_tpu.train.data import AudioFolderDataset, read_wav

@@ -147,7 +147,6 @@ class WaveVerify:
                                           load_weights_npz(path))
         # orbax TrainState dir (tag dir or ckpt root containing 'latest')
         from waveverify_tpu.train import checkpoint as ckpt
-        from waveverify_tpu.train.state import create_train_state
 
         root, tag = path, None
         if (path / "state").exists():
@@ -159,10 +158,10 @@ class WaveVerify:
                 f"no checkpoint found at {path} (expected an orbax tag dir "
                 "or a .pth file)"
             )
-        target = create_train_state(self.config, jax.random.PRNGKey(0),
-                                    self.models)
-        state, _meta = ckpt.load_checkpoint(str(root), tag, target)
-        return jax.tree_util.tree_map(jnp.asarray, state.wm_params)
+        # params-only restore: independent of the optimizer structure the
+        # checkpoint was trained with (see train/checkpoint.load_params)
+        params = ckpt.load_params(str(root), tag)
+        return jax.tree_util.tree_map(jnp.asarray, params)
 
     # -- jitted model appliers (per bucketed length) --------------------------
 

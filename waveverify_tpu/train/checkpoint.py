@@ -90,6 +90,37 @@ def load_checkpoint(ckpt_dir: str, tag: str, target_state: Any
     return restored, meta
 
 
+def load_params(ckpt_dir: str, tag: str) -> Any:
+    """Restore ONLY the model parameter subtree (``wm_params``) of a saved
+    TrainState.
+
+    Inference loaders (``WaveVerify``) must not need the training-run's
+    optimizer hyperparameters: optax chains change pytree structure with
+    knobs like ``detector_lr_mult``, so restoring against a freshly built
+    TrainState template fails on checkpoints from differently-configured
+    runs. Restoring the on-disk tree structure-free and picking the params
+    field sidesteps that entirely (and skips optimizer-state I/O).
+    """
+    path = Path(ckpt_dir) / tag
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    if _HAVE_ORBAX and (path / "state").exists():
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore((path / "state").resolve())
+        try:
+            return restored["wm_params"]
+        except (KeyError, TypeError) as e:  # pragma: no cover
+            raise ValueError(
+                f"checkpoint at {path} has no 'wm_params' field — not a "
+                "WaveVerify TrainState checkpoint?"
+            ) from e
+    raise FileNotFoundError(
+        f"no orbax state under {path}; params-only loading requires an "
+        "orbax checkpoint (use load_checkpoint with a matching TrainState "
+        "for legacy .npz state files)"
+    )
+
+
 def checkpoint_tags(ckpt_dir: str) -> list[str]:
     root = Path(ckpt_dir)
     if not root.exists():
