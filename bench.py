@@ -89,6 +89,33 @@ def _throughput(device, batch: int, clip_len: int, iters: int,
         return _throughput_with(fn, params, batch, clip_len, iters, repeats)
 
 
+def _probe_real_backend(timeout_s: float = 60.0, retries: int = 4,
+                        retry_wait_s: float = 30.0) -> int:
+    """Count non-cpu devices via a SUBPROCESS probe.
+
+    jax.devices() blocks indefinitely while this image's tunneled TPU
+    backend is wedged (threads stuck on futex, recovers after ~10 min), so
+    probing in-process would hang the whole bench. Retry for a bounded
+    window to ride out a wedge, then report 0 so the caller can fall back
+    to CPU instead of producing no artifact at all.
+    """
+    import subprocess
+
+    code = ("import jax; "
+            "print(sum(d.platform != 'cpu' for d in jax.devices()))")
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            return int(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            if attempt < retries - 1:
+                time.sleep(retry_wait_s)
+    return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -98,7 +125,17 @@ def main() -> None:
     ap.add_argument("--cpu-batch", type=int, default=8)
     args = ap.parse_args()
 
+    n_accel = _probe_real_backend()
+
     import jax
+
+    if n_accel == 0:
+        # never touch the (possibly wedged) tunnel backend in this process,
+        # and reuse the repo's persistent compile cache so the CPU fallback
+        # fits a driver timeout (full-config CPU compiles are multi-minute)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/waveverify_tpu_jax_cache")
 
     # Serving precision: one-pass bf16 MXU passes for f32 convs. Measured on
     # v5e: 2.4x over HIGHEST with max bit-probability delta 2e-5 (threshold
@@ -130,12 +167,16 @@ def main() -> None:
     else:
         cpu_tp = value  # already on CPU: ratio 1.0 by definition
 
-    print(json.dumps({
+    out = {
         "metric": "embed_detect_throughput_16khz_1s_clips",
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(value / max(cpu_tp, 1e-9), 2),
-    }))
+    }
+    if n_accel == 0:
+        out["note"] = ("accelerator unreachable (tunnel wedge outlasted the "
+                       "probe window); CPU-only fallback measurement")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
