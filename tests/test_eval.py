@@ -39,10 +39,13 @@ def test_run_sweep_structure(wv):
                         include_codecs=False)
     assert set(results) == {"identity", "random_noise(0.001)"}
     for tag, r in results.items():
-        assert set(r) == {"ber", "tpr", "fpr", "miou", "confidence"}
+        assert set(r) == {"ber", "tpr", "fpr", "miou", "confidence",
+                          "ber_full", "tpr_full"}
         assert 0.0 <= r["ber"] <= 1.0, tag
+        assert 0.0 <= r["ber_full"] <= 1.0, tag
         assert 0.0 <= r["miou"] <= 1.0, tag
         assert 0.0 <= r["tpr"] <= 1.0 and 0.0 <= r["fpr"] <= 1.0
+        assert 0.0 <= r["tpr_full"] <= 1.0
 
 
 def test_effect_tags():

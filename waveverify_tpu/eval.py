@@ -102,11 +102,11 @@ def run_sweep(
                                           clean, bits)
         wm = residual + clean
         spliced = jnp.where(mask > 0.5, wm, clean)
-        return spliced
+        return wm, spliced
 
     def make_attack_fn(chain):
         @jax.jit
-        def attack(params, spliced, clean, bits, mask, key):
+        def attack(params, wm, spliced, clean, bits, mask, key):
             x, m = spliced, mask
             for i, (name, eff_params) in enumerate(chain):
                 sub = jax.random.fold_in(key, i)
@@ -122,24 +122,40 @@ def run_sweep(
             # clean-audio confidence for FPR
             det_clean = models.apply_detector(params["detector"], clean)
             probs_clean = jnp.mean(jax.nn.sigmoid(det_clean), axis=1)
-            return sample_ber, sample_miou, confidence, bit_probs, probs_clean
+            # full-clip protocol (reference detection table: watermark
+            # everywhere, no spliced-clean dilution of the frame mean)
+            xf, mf = wm, jnp.ones_like(mask)
+            for i, (name, eff_params) in enumerate(chain):
+                sub = jax.random.fold_in(jax.random.fold_in(key, 10_000), i)
+                fn = getattr(AudioEffects, name)
+                xf, mf2 = fn(xf, mf, sub, sample_rate=wv.sample_rate,
+                             **eff_params)
+                mf = mf if mf2 is None else mf2
+            det_full = models.apply_detector(params["detector"], xf)
+            bit_probs_full = jnp.mean(jax.nn.sigmoid(det_full), axis=1)
+            sample_ber_full = ber_fn(det_full, bits, mf, per_sample=True)
+            return (sample_ber, sample_miou, confidence, bit_probs,
+                    probs_clean, sample_ber_full, bit_probs_full)
         return attack
 
-    spliced = prepare(params, jnp.asarray(audio), jnp.asarray(bits),
-                      jnp.asarray(mask))
+    wm, spliced = prepare(params, jnp.asarray(audio), jnp.asarray(bits),
+                          jnp.asarray(mask))
 
     results: Dict[str, Dict[str, float]] = {}
     key = jax.random.PRNGKey(seed)
     for chain in effects:
         tag = _effect_tag(chain)
         key, sub = jax.random.split(key)
-        sample_ber, sample_miou, conf, bit_probs, probs_clean = (
-            make_attack_fn(chain)(params, spliced, jnp.asarray(audio),
+        (sample_ber, sample_miou, conf, bit_probs, probs_clean,
+         sample_ber_full, bit_probs_full) = (
+            make_attack_fn(chain)(params, wm, spliced, jnp.asarray(audio),
                                   jnp.asarray(bits), jnp.asarray(mask), sub)
         )
         bit_probs = np.asarray(bit_probs)
         decoded = (bit_probs > 0.5).astype(np.float32)
         exact = (decoded == bits).all(axis=1)  # full-message recovery
+        decoded_full = (np.asarray(bit_probs_full) > 0.5).astype(np.float32)
+        exact_full = (decoded_full == bits).all(axis=1)
         # clean-audio false positives: clean decodes to the embedded message
         clean_dec = (np.asarray(probs_clean) > 0.5).astype(np.float32)
         fp = (clean_dec == bits).all(axis=1)
@@ -149,10 +165,14 @@ def run_sweep(
             "fpr": float(np.mean(fp)),
             "miou": float(np.mean(np.asarray(sample_miou))),
             "confidence": float(np.mean(np.asarray(conf))),
+            "ber_full": float(np.mean(np.asarray(sample_ber_full))),
+            "tpr_full": float(np.mean(exact_full)),
         }
-        logger.info("%-40s ber=%.4f tpr=%.3f fpr=%.3f miou=%.4f",
+        logger.info("%-40s ber=%.4f tpr=%.3f fpr=%.3f miou=%.4f "
+                    "ber_full=%.4f tpr_full=%.3f",
                     tag, *[results[tag][k] for k in
-                           ("ber", "tpr", "fpr", "miou")])
+                           ("ber", "tpr", "fpr", "miou", "ber_full",
+                            "tpr_full")])
 
     if include_codecs:
         from waveverify_tpu.effects.effects import codec_available
