@@ -9,8 +9,12 @@
 #   pads to 24 and saves nothing). With lambdas.dec/loss_clean adding a
 #   second detector pass, batch 16 @ 0.9 s clips is the largest config
 #   that fits 16 GB HBM without remat (batch 16 @ 1.0 s missed by 10 MB).
-# - warmup.steps=6000: perceptual-loss ramp (config.py LossConfig) so the
-#   message channel forms before imperceptibility squeezes it.
+# - warmup.steps=6000 + ber_gate=0.05: BER-gated perceptual ramp (config.py
+#   LossConfig, loop.py BerGatedRamp). The watermark stays loud until the
+#   attacked-path train-BER EMA <= 0.05, then squeezes over 6000 ramp steps,
+#   pausing whenever the squeeze breaks decoding. (The fixed step-indexed
+#   ramp measurably undid decoding: val BER 0.30 -> 0.37 as SI-SNR climbed
+#   5.6 -> 10 dB when the ramp hit full weight at 6k.)
 # - film_gamma_bias=1 + detector_lr_mult=10 + lambdas.dec/loss_clean:
 #   saddle-escape set (see docs/TRAINING.md); the A/B overfit probe shows
 #   BER 0 in 120 steps with these vs 0.22+ at 360 without.
@@ -31,6 +35,7 @@ exec python -m waveverify_tpu.train \
   --log-every 50 \
   --set train_duration=0.9 \
   --set warmup.steps=6000 --set warmup.init_scale=0.01 \
+  --set warmup.ber_gate=0.05 \
   --set valid_freq=1000 \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \

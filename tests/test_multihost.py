@@ -143,6 +143,6 @@ if pid == 0:
     lines = [json.loads(l) for l in open(log)]
     assert any("loss" in l for l in lines)
 print(f"[{pid}] TRAIN GATING OK", flush=True)
-""", tmp_path)
+""", tmp_path, timeout=2700)  # >= loop.py's 1800 s post-val barrier budget
     for out in outs:
         assert "TRAIN GATING OK" in out

@@ -429,3 +429,56 @@ def test_cli_flag_plumbing(monkeypatch):
     assert trainer.log_every == 7
     assert trainer.effects_config == "conf/effects_config.yml"
     assert seen["max_steps"] == 0 and seen["resume"] is True
+
+
+def test_ber_gated_ramp_controller():
+    """Host-side BerGatedRamp: holds while BER EMA is above the gate,
+    advances while at/below it, never regresses, round-trips its state."""
+    from waveverify_tpu.train.loop import BerGatedRamp
+
+    ramp = BerGatedRamp(steps=10, init_scale=0.01, gate=0.1, beta=0.0)
+    assert ramp.scale() == pytest.approx(0.01)
+    for _ in range(50):  # chance-level BER: ramp must hold
+        ramp.update(0.5)
+    assert ramp.progress == 0.0 and ramp.scale() == pytest.approx(0.01)
+    for _ in range(5):  # decoding works: ramp advances 1/steps per step
+        ramp.update(0.0)
+    assert ramp.progress == pytest.approx(0.5)
+    assert ramp.scale() == pytest.approx(0.01 ** 0.5)
+    ramp.update(0.5)  # squeeze broke decoding: pause, never regress
+    assert ramp.progress == pytest.approx(0.5)
+    for _ in range(20):
+        ramp.update(0.0)
+    assert ramp.progress == 1.0 and ramp.scale() == pytest.approx(1.0)
+
+    other = BerGatedRamp(steps=10, init_scale=0.01, gate=0.1)
+    other.load_state_dict(ramp.state_dict())
+    assert other.progress == ramp.progress and other.ema == ramp.ema
+
+
+@pytest.mark.slow
+def test_train_step_host_percep_scale(setup):
+    """The host-fed percep_scale argument rescales exactly the perceptual
+    terms of the generator loss (BER-gated ramp path)."""
+    cfg, models, state, audio, msg, idx = setup
+    mesh = make_mesh(4)
+    step = shard_train_step(
+        make_train_step(models, cfg, SMALL_BANK), mesh,
+        donate_state=False, with_percep_scale=True,
+    )
+    a, m, i = shard_batch(mesh, audio, msg, idx)
+    key = jax.random.PRNGKey(2)
+    _, m_lo = step(state, a, m, i, key, np.float32(0.0))
+    _, m_hi = step(state, a, m, i, key, np.float32(1.0))
+    lo, hi = (lambda d: {k: float(np.asarray(v)) for k, v in d.items()
+                         if np.asarray(v).ndim == 0})(m_lo), None
+    hi = {k: float(np.asarray(v)) for k, v in m_hi.items()
+          if np.asarray(v).ndim == 0}
+    # same forward -> identical unweighted loss terms, different totals
+    assert lo["dec/loss"] == pytest.approx(hi["dec/loss"], rel=1e-5)
+    assert lo["stft/loss"] == pytest.approx(hi["stft/loss"], rel=1e-5)
+    percep = (cfg.loss.lambda_stft * hi["stft/loss"]
+              + cfg.loss.lambda_mel * hi["mel/loss"]
+              + cfg.loss.lambda_waveform * hi["waveform/loss"]
+              + cfg.loss.lambda_adv_gen * hi["adv/gen_loss"])
+    assert hi["loss"] - lo["loss"] == pytest.approx(percep, rel=1e-3)

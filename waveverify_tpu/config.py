@@ -210,6 +210,14 @@ class LossConfig:
     # phase from the reference's several-100k-step schedule to O(10k).
     warmup_steps: int = 0
     warmup_init_scale: float = 0.01
+    # BER gate for the ramp (0 = off -> step-indexed ramp above). When > 0
+    # the ramp's progress advances only while the attacked-path train-BER
+    # EMA is <= the gate (host-controlled; train/loop.py BerGatedRamp):
+    # the watermark stays loud until decoding works and the squeeze pauses
+    # automatically whenever it starts breaking decoding. Measured: the
+    # fixed ramp undid decoding progress as it hit full weight (val BER
+    # 0.30 -> 0.37 while SI-SNR climbed 5.6 -> 10 dB).
+    warmup_ber_gate: float = 0.0
     # Auxiliary decoding loss on the CLEAN watermarked audio (no
     # localization augmentation, no attacks; target = message everywhere).
     # 0.0 = reference parity (decoding loss only on the attacked path,
@@ -353,6 +361,8 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_steps"] = int(warm["steps"])
     if "init_scale" in warm:
         loss_kwargs["warmup_init_scale"] = float(warm["init_scale"])
+    if "ber_gate" in warm:
+        loss_kwargs["warmup_ber_gate"] = float(warm["ber_gate"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

@@ -63,36 +63,76 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_train_step(train_step: Callable, mesh: Mesh,
-                     donate_state: bool = True) -> Callable:
+                     donate_state: bool = True,
+                     with_percep_scale: bool = False) -> Callable:
     """jit the train step over the mesh: state replicated (and donated so
     params/optimizer state update in place in HBM), batch tensors sharded on
     the data axis, PRNG key replicated.
 
-    Signature expected: step(state, audio, msg, effect_idx, key).
+    Signature expected: step(state, audio, msg, effect_idx, key) — plus a
+    trailing replicated host scalar when ``with_percep_scale`` (the
+    BER-gated perceptual-ramp value, see train/loop.py BerGatedRamp).
     """
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
+    extra = (repl,) if with_percep_scale else ()
     return jax.jit(
         train_step,
-        in_shardings=(repl, batch, batch, batch, repl),
+        in_shardings=(repl, batch, batch, batch, repl) + extra,
         out_shardings=None,
         donate_argnums=(0,) if donate_state else (),
     )
 
 
 def shard_multi_step(multi_step: Callable, mesh: Mesh,
-                     donate_state: bool = True) -> Callable:
+                     donate_state: bool = True,
+                     with_percep_scale: bool = False) -> Callable:
     """jit a K-steps-per-dispatch train fn (see make_multi_train_step):
     batch tensors are stacked [K, B, ...] with the batch (axis 1) sharded
     on the data axis; state replicated + donated."""
     repl = replicated_sharding(mesh)
     stacked = NamedSharding(mesh, P(None, DATA_AXIS))
+    extra = (repl,) if with_percep_scale else ()
     return jax.jit(
         multi_step,
-        in_shardings=(repl, stacked, stacked, stacked, repl),
+        in_shardings=(repl, stacked, stacked, stacked, repl) + extra,
         out_shardings=None,
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def local_batch_rows(x: Any, axis: int = 0) -> np.ndarray:
+    """This process's rows of a global array whose ``axis`` is (possibly)
+    sharded over the data axis — the rows this process contributed via
+    :func:`shard_batch` / :func:`shard_stacked_batch`.
+
+    Global jax.Arrays spanning other processes' devices cannot be fetched
+    wholesale (``np.asarray`` raises); per-sample train-step outputs (BER /
+    mIoU for the effect scheduler) are batch-sharded, and each process's
+    scheduler must see exactly the rows of the samples IT selected. Works
+    for replicated arrays too (full local copy -> slice our range).
+    Single-process: plain fetch."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    b = x.shape[axis]
+    per = b // jax.process_count()
+    lo = jax.process_index() * per
+    rows: dict = {}
+    for s in x.addressable_shards:
+        idx = s.index[axis]
+        start = idx.start or 0
+        data = np.moveaxis(np.asarray(s.data), axis, 0)
+        for j in range(data.shape[0]):
+            rows.setdefault(start + j, data[j])
+    missing = [g for g in range(lo, lo + per) if g not in rows]
+    if missing:
+        raise RuntimeError(
+            f"process {jax.process_index()} holds no addressable shard for "
+            f"batch rows {missing} (axis {axis}); expected its own slice "
+            f"[{lo}, {lo + per})"
+        )
+    out = np.stack([rows[g] for g in range(lo, lo + per)])
+    return np.moveaxis(out, 0, axis)
 
 
 def _put(sharding: NamedSharding, a: Any):

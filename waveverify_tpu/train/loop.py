@@ -33,7 +33,11 @@ from waveverify_tpu.parallel import (
     shard_batch,
     shard_train_step,
 )
-from waveverify_tpu.parallel.mesh import shard_multi_step, shard_stacked_batch
+from waveverify_tpu.parallel.mesh import (
+    local_batch_rows,
+    shard_multi_step,
+    shard_stacked_batch,
+)
 from waveverify_tpu.train import checkpoint as ckpt
 from waveverify_tpu.train.data import (
     AudioFolderDataset,
@@ -52,6 +56,28 @@ from waveverify_tpu.train.watermarking import WatermarkModels
 logger = logging.getLogger(__name__)
 
 
+def _coordination_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Best-effort cross-process barrier via the jax.distributed
+    coordination service (NOT a device collective — usable while XLA's Gloo
+    context does not exist yet, and with a generous timeout where Gloo's
+    key-value exchange only allows ~30 s).
+
+    The timeout must exceed the worst-case one-sided work it guards —
+    process 0's cold-cache validation COMPILE is the long pole (measured
+    >600 s with two processes sharing one CPU core): a waiter that times
+    out proceeds to exit and trips jax.distributed's fatal ~60 s shutdown
+    barrier, killing the run."""
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception:  # pragma: no cover - barrier is best-effort
+        logger.warning("coordination barrier %r unavailable", name,
+                       exc_info=True)
+
+
 class Tracker:
     """Minimal stand-in for audiotools' Tracker (reference scripts/train.py:
     1975-1988): step timing, metric EMA, history to JSONL, best tracking.
@@ -68,6 +94,8 @@ class Tracker:
         self.smoothed: Dict[str, float] = {}
         self.best_val_loss = float("inf")
         self.log_file = Path(log_file) if log_file else None
+        if self.log_file is not None:
+            self.log_file.parent.mkdir(parents=True, exist_ok=True)
         self._t_last = time.perf_counter()
         self._last_step: Optional[int] = None
         self._tb = None
@@ -155,6 +183,51 @@ class Tracker:
             self.best_val_loss = val_loss
             return True
         return False
+
+
+class BerGatedRamp:
+    """Host-side controller for the BER-gated perceptual ramp
+    (``LossConfig.warmup_ber_gate``; see docs/TRAINING.md).
+
+    The fixed step-indexed ramp squeezes the watermark on a schedule that
+    ignores whether the message channel has actually formed — measured on
+    this task, the squeeze routinely outruns decoding and undoes it (val
+    BER worsened from 0.30 to 0.37 exactly as SI-SNR climbed 5.6->10 dB).
+    This controller advances ramp *progress* (0..1, never backward) by
+    1/warmup_steps per train step ONLY while the attacked-path train-BER
+    EMA is at or below the gate: the watermark stays loud until decoding
+    works, then is squeezed as fast as decoding tolerates, pausing
+    automatically whenever the squeeze starts breaking it.
+
+    The scale it produces is fed to the jitted train step as a replicated
+    scalar argument each dispatch (host->device, same pattern as the
+    effect scheduler's indices) — no recompiles.
+    """
+
+    def __init__(self, steps: int, init_scale: float, gate: float,
+                 beta: float = 0.98):
+        self.steps = max(int(steps), 1)
+        self.init_scale = float(init_scale)
+        self.gate = float(gate)
+        self.beta = float(beta)
+        self.progress = 0.0
+        self.ema = 0.5  # chance-level prior
+
+    def scale(self) -> float:
+        return float(self.init_scale ** (1.0 - self.progress))
+
+    def update(self, ber: float, k: int = 1) -> None:
+        """Feed one dispatch's mean attacked-path BER covering ``k`` steps."""
+        self.ema = self.beta * self.ema + (1.0 - self.beta) * float(ber)
+        if self.ema <= self.gate:
+            self.progress = min(1.0, self.progress + k / self.steps)
+
+    def state_dict(self) -> Dict[str, float]:
+        return {"progress": self.progress, "ema": self.ema}
+
+    def load_state_dict(self, d: Dict[str, float]) -> None:
+        self.progress = float(d.get("progress", 0.0))
+        self.ema = float(d.get("ema", 0.5))
 
 
 @dataclass
@@ -255,6 +328,12 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                       "lr": cfg.optim.lr},
     )
 
+    ramp: Optional[BerGatedRamp] = None
+    if cfg.loss.warmup_ber_gate > 0:
+        ramp = BerGatedRamp(cfg.loss.warmup_steps,
+                            cfg.loss.warmup_init_scale,
+                            cfg.loss.warmup_ber_gate)
+
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, key, models)
     start_step = 0
@@ -263,21 +342,33 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         start_step = int(meta.get("step", 0))
         if meta.get("scheduler_state"):
             scheduler.load_state_dict(meta["scheduler_state"])
+        if ramp is not None and meta.get("ramp_state"):
+            ramp.load_state_dict(meta["ramp_state"])
         tracker.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         logger.info("resumed from step %d", start_step)
     # Commit the state to the mesh BEFORE the first step: host-built arrays
     # have no mesh in their aval sharding, so the state returned by step 1
     # (mesh-typed) would otherwise be a cache miss and the whole train step
     # would compile twice (fatal on memory-tight compile services).
+    if jax.process_count() > 1:
+        # Align processes before the FIRST cross-process collective: the
+        # replicated device_put below initializes the Gloo context, whose
+        # key-value exchange has a hard ~30 s window. Model init above is
+        # minutes of single-process work, so on contended hosts processes
+        # arrive staggered beyond that window (observed in the 2-process CPU
+        # test). The coordination-service barrier has no such limit.
+        _coordination_barrier("waveverify_pre_replicate")
     state = jax.device_put(state, replicated_sharding(mesh))
 
     if trainer.steps_per_dispatch > 1:
         step_fn = shard_multi_step(
             make_multi_train_step(models, cfg, bank,
-                                  trainer.steps_per_dispatch), mesh
+                                  trainer.steps_per_dispatch), mesh,
+            with_percep_scale=ramp is not None,
         )
     else:
-        step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh)
+        step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
+                                   with_percep_scale=ramp is not None)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -305,7 +396,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                                cfg.generator.msg_dimension, data_seed)
     total = max_steps if max_steps is not None else cfg.num_iters
 
-    pending: Optional[Tuple[Dict[str, Any], List[Tuple[str, Dict]]]] = None
+    # (local per-sample metrics, local selections, replicated train/ber)
+    pending: Optional[Tuple[Dict[str, Any], List[Tuple[str, Dict]], Any]] = None
     val_rng = np.random.RandomState(cfg.seed + 13)
 
     sample_fn = None
@@ -331,6 +423,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             jax.profiler.stop_trace()
             profiling = False
 
+        ramp_args = ((np.float32(ramp.scale()),) if ramp is not None else ())
         if K == 1:
             audio, msg = next(batches)
             idx, selections = scheduler.select_bank_indices(
@@ -338,7 +431,18 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 match_reference_cap=trainer.match_reference_effect_cap,
             )
             audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
-            state, metrics = step_fn(state, audio_d, msg_d, idx_d, key)
+            if step == start_step and jax.process_count() > 1:
+                # First dispatch creates the full-mesh Gloo context inside
+                # XLA, whose key-value exchange times out at ~30 s — but the
+                # preceding per-process train-step compile takes minutes and
+                # staggers processes on contended hosts. Compile ahead of
+                # time, then re-align so every process enters execution
+                # within the Gloo window.
+                step_fn.lower(state, audio_d, msg_d, idx_d, key,
+                              *ramp_args).compile()
+                _coordination_barrier("waveverify_pre_first_dispatch")
+            state, metrics = step_fn(state, audio_d, msg_d, idx_d, key,
+                                     *ramp_args)
             last_batch = (audio, msg)
         else:
             audios, msgs, idxs = [], [], []
@@ -356,15 +460,30 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             audio_d, msg_d, idx_d = shard_stacked_batch(
                 mesh, np.stack(audios), np.stack(msgs), np.stack(idxs)
             )
-            state, metrics = step_fn(state, audio_d, msg_d, idx_d, key)
+            state, metrics = step_fn(state, audio_d, msg_d, idx_d, key,
+                                     *ramp_args)
             last_batch = (audios[-1], msgs[-1])
 
-        # scheduler feedback, one dispatch delayed (device busy with N+1)
+        # scheduler/ramp feedback, one dispatch delayed (device busy with
+        # N+1). Per-sample metrics are batch-SHARDED: fetch only this
+        # process's own rows (global fetch is illegal multi-host, and the
+        # scheduler's `selections` are local rows anyway). The ramp instead
+        # feeds on the REPLICATED scalar `train/ber` (global-batch mean
+        # computed inside the jitted step): every process sees the same
+        # value, so the host-side ramp state — and the percep_scale each
+        # process feeds back as a "replicated" scalar — stays bit-identical
+        # across processes. Local rows would drift it.
         if pending is not None:
-            _feed_scheduler(scheduler, *pending)
+            _feed_scheduler(scheduler, pending[0], pending[1])
+            if ramp is not None:
+                ramp.update(float(np.mean(np.asarray(pending[2]))), k=K)
         pending = (
-            {"ber": metrics["per_sample_ber"], "miou": metrics["per_sample_miou"]},
+            {"ber": local_batch_rows(metrics["per_sample_ber"],
+                                     axis=1 if K > 1 else 0),
+             "miou": local_batch_rows(metrics["per_sample_miou"],
+                                      axis=1 if K > 1 else 0)},
             selections,
+            metrics["train/ber"],
         )
 
         step_end = step + K  # K=1: this dispatch covered [step, step_end)
@@ -374,11 +493,16 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 != step_end // max(trainer.log_every, 1)) or step == start_step:
             host = {}
             for k_name, v in metrics.items():
+                if k_name.startswith("per_sample"):
+                    continue  # batch-sharded; consumed via local_batch_rows
                 arr = np.asarray(v)
                 if arr.ndim == 0:
                     host[k_name] = float(arr)
                 elif K > 1 and arr.ndim == 1 and arr.shape[0] == K:
                     host[k_name] = float(arr[-1])  # last step of the dispatch
+            if ramp is not None:
+                host["ramp/percep_scale"] = ramp.scale()
+                host["ramp/ber_ema"] = ramp.ema
             tracker.update(last_step, host)
             logger.info(
                 "step %d loss %.4f dec %.4f loc %.4f ber %.4f miou %.4f",
@@ -430,6 +554,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 "scheduler_state": scheduler.state_dict(),
                 "best_val_loss": tracker.best_val_loss,
             }
+            if ramp is not None:
+                host_state["ramp_state"] = ramp.state_dict()
             try:
                 ckpt.save_checkpoint(trainer.ckpt_dir, "latest", state,
                                      host_state)
@@ -448,12 +574,22 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 logger.exception("checkpoint save failed at step %d; "
                                  "continuing", step_end)
 
+        if n_proc > 1 and (step // cfg.valid_freq != step_end // cfg.valid_freq
+                           or step_end >= total):
+            # Re-align after process-0's validation/checkpoint block: the
+            # other processes reach it instantly and would otherwise (a)
+            # time out waiting in the next step's collective mid-run, or
+            # (b) exit the interpreter and trip jax.distributed's ~60 s
+            # shutdown barrier at end-of-run while process 0 is still
+            # checkpointing (observed in the 2-process CPU test).
+            _coordination_barrier(f"waveverify_post_val_{step_end}")
+
         step = step_end
 
     if profiling:
         jax.profiler.stop_trace()
     if pending is not None:
-        _feed_scheduler(scheduler, *pending)
+        _feed_scheduler(scheduler, pending[0], pending[1])
     tracker.close()
     return state
 

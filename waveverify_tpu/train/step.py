@@ -84,7 +84,8 @@ def make_train_step(
         return lambda x: _disc_ckpt(params, x)
 
     def train_step(state: TrainState, audio: jnp.ndarray, msg: jnp.ndarray,
-                   effect_idx: jnp.ndarray, key: jnp.ndarray
+                   effect_idx: jnp.ndarray, key: jnp.ndarray,
+                   percep_scale: Optional[jnp.ndarray] = None,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         k_fwd, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
 
@@ -119,8 +120,12 @@ def make_train_step(
         new_disc_apply = disc_apply_fn(disc_params)
 
         # perceptual-loss warmup ramp (config.py LossConfig.warmup_steps;
-        # 1.0 when disabled). Traced from state.step — no recompiles.
-        if loss_cfg.warmup_steps > 0:
+        # 1.0 when disabled). Either a host-fed scalar (BER-gated ramp —
+        # loop.py BerGatedRamp passes one per dispatch) or traced from
+        # state.step. No recompiles either way.
+        if percep_scale is not None:
+            percep_scale = jnp.asarray(percep_scale, jnp.float32)
+        elif loss_cfg.warmup_steps > 0:
             frac = jnp.clip(
                 jnp.asarray(state.step, jnp.float32) / loss_cfg.warmup_steps,
                 0.0, 1.0,
@@ -237,12 +242,15 @@ def make_multi_train_step(
     step = make_train_step(models, cfg, bank)
 
     def multi(state: TrainState, audios: jnp.ndarray, msgs: jnp.ndarray,
-              idxs: jnp.ndarray, key: jnp.ndarray):
+              idxs: jnp.ndarray, key: jnp.ndarray,
+              percep_scale: Optional[jnp.ndarray] = None):
         def body(st, inp):
             a, m, i = inp
             # the inner step folds `key` with st.step, which increments
-            # every iteration — each scanned step gets fresh randomness
-            return step(st, a, m, i, key)
+            # every iteration — each scanned step gets fresh randomness.
+            # percep_scale (BER-gated ramp) is held constant within the
+            # dispatch; the host updates it between dispatches.
+            return step(st, a, m, i, key, percep_scale)
 
         return jax.lax.scan(body, state, (audios, msgs, idxs),
                             length=steps_per_dispatch)
