@@ -35,6 +35,29 @@ def _np_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _pytree_checkpointer() -> "ocp.Checkpointer":
+    """A PyTree checkpointer whose internal barriers involve only THIS process.
+
+    orbax's ``Checkpointer.save`` ends in ``sync_global_processes`` — a
+    cross-process device collective. Our save/load wrappers are called
+    rank-0-only (reference DDP rank-0 checkpointing, scripts/train.py:1589),
+    and every leaf is host-local numpy by the time orbax sees it, so a global
+    barrier would be one-sided: process 0 wedges in a Gloo allgather for the
+    full 30-min timeout while the other ranks have long moved on (measured in
+    the 2-process gating test). Restricting ``active_processes`` to the
+    caller keeps orbax's atomicity and makes the barrier a self-sync.
+    """
+    pid = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=pid,
+            active_processes={pid},
+            barrier_sync_key_prefix=f"wv_local_p{pid}",
+        ),
+    )
+
+
 def save_checkpoint(ckpt_dir: str, tag: str, state: Any,
                     host_state: Optional[Dict[str, Any]] = None) -> Path:
     """Atomically save ``state`` (a TrainState pytree) under ``tag``."""
@@ -44,7 +67,7 @@ def save_checkpoint(ckpt_dir: str, tag: str, state: Any,
     state_np = _np_tree(state)
 
     if _HAVE_ORBAX:
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = _pytree_checkpointer()
         tmp = root / f".tmp_{tag}"
         if tmp.exists():
             shutil.rmtree(tmp)
@@ -78,7 +101,7 @@ def load_checkpoint(ckpt_dir: str, tag: str, target_state: Any
         meta = json.loads(meta_file.read_text())
 
     if _HAVE_ORBAX and (path / "state").exists():
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = _pytree_checkpointer()
         restored = ckptr.restore(
             (path / "state").resolve(), item=_np_tree(target_state)
         )
@@ -105,7 +128,7 @@ def load_params(ckpt_dir: str, tag: str) -> Any:
     if not path.exists():
         raise FileNotFoundError(f"no checkpoint at {path}")
     if _HAVE_ORBAX and (path / "state").exists():
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = _pytree_checkpointer()
         restored = ckptr.restore((path / "state").resolve())
         try:
             return restored["wm_params"]
