@@ -151,7 +151,21 @@ def main() -> None:
     cpu = jax.devices("cpu")[0] if accel else None
     target = accel[0] if accel else jax.devices()[0]
 
-    value = _throughput(target, args.batch, clip_len, args.iters)
+    note = None
+    try:
+        value = _throughput(target, args.batch, clip_len, args.iters)
+    except Exception as exc:
+        if not accel:
+            raise
+        # e.g. RESOURCE_EXHAUSTED when a training run holds the chip's HBM:
+        # fall back to a CPU measurement rather than producing no artifact
+        note = (f"accelerator measurement failed ({type(exc).__name__}: "
+                f"{str(exc)[:120]}); CPU-only fallback measurement")
+        accel = []
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/waveverify_tpu_jax_cache")
+        target, cpu = jax.devices("cpu")[0], None
+        value = _throughput(target, args.cpu_batch, clip_len, args.cpu_iters)
 
     if accel:
         # pallas can't lower for the CPU backend; the host baseline is the
@@ -176,6 +190,8 @@ def main() -> None:
     if n_accel == 0:
         out["note"] = ("accelerator unreachable (tunnel wedge outlasted the "
                        "probe window); CPU-only fallback measurement")
+    elif note is not None:
+        out["note"] = note
     print(json.dumps(out))
 
 
