@@ -12,6 +12,19 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== stop trainer =="
+# Stop the relaunch supervisor FIRST or it restarts the trainer mid-bench,
+# then its child trainer (found by parent pid — never by name pattern).
+if [ -f /tmp/train_sup.pid ] && kill -0 "$(cat /tmp/train_sup.pid)" 2>/dev/null; then
+  SUP=$(cat /tmp/train_sup.pid)
+  KIDS=$(ps -o pid= --ppid "$SUP" 2>/dev/null || true)
+  kill "$SUP" 2>/dev/null || true
+  for k in $KIDS; do
+    GKIDS=$(ps -o pid= --ppid "$k" 2>/dev/null || true)
+    kill "$k" 2>/dev/null || true
+    for g in $GKIDS; do kill "$g" 2>/dev/null || true; done
+  done
+  sleep 10
+fi
 if [ -f /tmp/train_r2c.pid ] && kill -0 "$(cat /tmp/train_r2c.pid)" 2>/dev/null; then
   kill "$(cat /tmp/train_r2c.pid)"
   sleep 10
