@@ -431,6 +431,34 @@ def test_cli_flag_plumbing(monkeypatch):
     assert seen["max_steps"] == 0 and seen["resume"] is True
 
 
+def test_init_weights_warm_start(tmp_path):
+    """train(init_weights=...) loads compact npz params into the fresh state
+    (the cross-round continuation path: orbax dirs are gitignored, so a new
+    round warm-starts from the committed save_weights_npz file)."""
+    import dataclasses
+
+    from waveverify_tpu.convert import load_weights_npz, save_weights_npz
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    cfg = dataclasses.replace(tiny_config(2), num_iters=0, train_duration=0.2,
+                              val_duration=0.2, val_batch_size=2)
+    models = WatermarkModels.from_config(cfg)
+    donor = create_train_state(cfg, jax.random.PRNGKey(42), models,
+                               example_length=T)
+    npz = tmp_path / "w.npz"
+    save_weights_npz(jax.tree_util.tree_map(np.asarray, donor.wm_params), npz,
+                     dtype=np.float32)
+
+    trainer = TrainerConfig(
+        ckpt_dir=str(tmp_path / "ckpt"), log_file=None, dump_samples=False,
+        num_devices=1, init_weights=str(npz),
+    )
+    state = train(cfg, trainer, max_steps=0)
+    got = jax.tree_util.tree_leaves(state.wm_params)
+    want = jax.tree_util.tree_leaves(load_weights_npz(npz))
+    assert all(np.allclose(np.asarray(g), w) for g, w in zip(got, want))
+
+
 def test_ber_gated_ramp_controller():
     """Host-side BerGatedRamp: holds while BER EMA is above the gate,
     advances while at/below it, never regresses, round-trips its state."""

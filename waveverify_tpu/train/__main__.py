@@ -57,6 +57,10 @@ def main() -> None:
                     "--set num_iters=100000 — same keys as conf/base.yml, "
                     "flat dotted form included (argbind-style overrides)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init-weights", default=None, metavar="NPZ",
+                    help="warm-start generator/detector/locator params from "
+                    "a save_weights_npz file (used when --resume finds no "
+                    "checkpoint; optimizer state starts fresh)")
     ap.add_argument("--log-file", default="train_log.jsonl")
     ap.add_argument("--tensorboard", default=None, metavar="DIR",
                     help="also mirror scalars to TensorBoard events in DIR")
@@ -153,6 +157,7 @@ def main() -> None:
         steps_per_dispatch=args.steps_per_dispatch,
         conv_precision=args.conv_precision,
         effect_dispatch=args.effect_dispatch,
+        init_weights=args.init_weights,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

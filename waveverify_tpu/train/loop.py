@@ -21,6 +21,7 @@ from pathlib import Path
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from waveverify_tpu.config import TrainConfig
@@ -237,6 +238,12 @@ class TrainerConfig:
     train_folders: Tuple[str, ...] = ()
     val_folders: Tuple[str, ...] = ()
     ckpt_dir: str = "checkpoints"
+    # warm-start the watermarking params (generator/detector/locator) from a
+    # save_weights_npz file when no orbax checkpoint is being resumed —
+    # lets a run continue from committed compact weights after the round
+    # boundary wipes the (gitignored) orbax dirs. Optimizer state, the
+    # discriminator, and the step counter start fresh.
+    init_weights: Optional[str] = None
     log_file: Optional[str] = "train_log.jsonl"
     save_iters: Tuple[int, ...] = (100000, 200000, 400000, 600000)
     num_devices: Optional[int] = None
@@ -346,6 +353,17 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             ramp.load_state_dict(meta["ramp_state"])
         tracker.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         logger.info("resumed from step %d", start_step)
+    elif trainer.init_weights:
+        from waveverify_tpu.convert import load_weights_npz
+
+        loaded = load_weights_npz(trainer.init_weights)
+        # cast/validate against the freshly-initialized tree so shapes and
+        # dtypes are guaranteed to match the compiled program
+        state = state.replace(wm_params=jax.tree_util.tree_map(
+            lambda init, new: jnp.asarray(new, init.dtype).reshape(init.shape),
+            state.wm_params, loaded,
+        ))
+        logger.info("warm-started wm_params from %s", trainer.init_weights)
     # Commit the state to the mesh BEFORE the first step: host-built arrays
     # have no mesh in their aval sharding, so the state returned by step 1
     # (mesh-typed) would otherwise be a cache miss and the whole train step
