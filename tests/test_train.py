@@ -142,6 +142,42 @@ def test_train_step_runs_and_learns(setup):
     assert np.asarray(metrics1["per_sample_miou"]).shape == (B,)
 
 
+def test_train_step_disc_gate(setup):
+    """train_disc flag: 1 reproduces the ungated step exactly; 0 leaves the
+    discriminator (params + opt state) untouched, zeroes the adversarial
+    logs, and still updates the watermarking subtree."""
+    cfg, models, state, audio, msg, idx = setup
+    mesh = make_mesh(4)
+    step_ref = shard_train_step(
+        make_train_step(models, cfg, SMALL_BANK), mesh, donate_state=False
+    )
+    step_gated = shard_train_step(
+        make_train_step(models, cfg, SMALL_BANK), mesh, donate_state=False,
+        with_percep_scale=True, with_train_disc=True,
+    )
+    a, m, i = shard_batch(mesh, audio, msg, idx)
+    key = jax.random.PRNGKey(2)
+
+    s_ref, m_ref = step_ref(state, a, m, i, key)
+    s_on, m_on = step_gated(state, a, m, i, key, np.float32(1.0),
+                            np.bool_(True))
+    for k in ("loss", "adv/disc_loss", "dec/loss", "adv/gen_loss"):
+        np.testing.assert_allclose(np.asarray(m_on[k]), np.asarray(m_ref[k]),
+                                   rtol=1e-5, err_msg=k)
+
+    s_off, m_off = step_gated(state, a, m, i, key, np.float32(1.0),
+                              np.bool_(False))
+    assert float(np.asarray(m_off["adv/disc_loss"])) == 0.0
+    assert float(np.asarray(m_off["adv/gen_loss"])) == 0.0
+    for d0, d1 in zip(jax.tree_util.tree_leaves(state.disc_params),
+                      jax.tree_util.tree_leaves(s_off.disc_params)):
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    g0 = jax.tree_util.tree_leaves(state.wm_params["generator"])[0]
+    g1 = jax.tree_util.tree_leaves(s_off.wm_params["generator"])[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    assert np.isfinite(float(np.asarray(m_off["loss"])))
+
+
 def test_val_step(setup):
     cfg, models, state, audio, msg, idx = setup
     eval_effects = [("identity", {}), ("random_noise", {"noise_std": 0.001})]

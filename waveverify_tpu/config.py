@@ -218,6 +218,13 @@ class LossConfig:
     # fixed ramp undid decoding progress as it hit full weight (val BER
     # 0.30 -> 0.37 while SI-SNR climbed 5.6 -> 10 dB).
     warmup_ber_gate: float = 0.0
+    # Discriminator cadence while the BER-gated ramp is CLOSED (progress
+    # 0): train the discriminator (and compute the adversarial generator
+    # terms) only every N-th step. While the adversarial weight sits at
+    # init_scale the ensemble + second-order gradient penalty is wasted
+    # device time; once the ramp starts squeezing the cadence returns to
+    # every step. 1 = reference parity (always). Requires warmup_ber_gate.
+    warmup_disc_every: int = 1
     # Auxiliary decoding loss on the CLEAN watermarked audio (no
     # localization augmentation, no attacks; target = message everywhere).
     # 0.0 = reference parity (decoding loss only on the attacked path,
@@ -363,6 +370,8 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_init_scale"] = float(warm["init_scale"])
     if "ber_gate" in warm:
         loss_kwargs["warmup_ber_gate"] = float(warm["ber_gate"])
+    if "disc_every" in warm:
+        loss_kwargs["warmup_disc_every"] = int(warm["disc_every"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

@@ -378,15 +378,18 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         _coordination_barrier("waveverify_pre_replicate")
     state = jax.device_put(state, replicated_sharding(mesh))
 
+    disc_gate = ramp is not None and cfg.loss.warmup_disc_every > 1
     if trainer.steps_per_dispatch > 1:
         step_fn = shard_multi_step(
             make_multi_train_step(models, cfg, bank,
                                   trainer.steps_per_dispatch), mesh,
             with_percep_scale=ramp is not None,
+            with_train_disc=disc_gate,
         )
     else:
         step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
-                                   with_percep_scale=ramp is not None)
+                                   with_percep_scale=ramp is not None,
+                                   with_train_disc=disc_gate)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -442,6 +445,14 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             profiling = False
 
         ramp_args = ((np.float32(ramp.scale()),) if ramp is not None else ())
+        if disc_gate:
+            # discriminator cadence: every step once the ramp is squeezing
+            # (adversarial feedback now matters), every warmup.disc_every-th
+            # step while it is closed (weight stuck at init_scale — the
+            # ensemble + GP is the dominant share of device time there)
+            ramp_args = ramp_args + (np.bool_(
+                ramp.progress > 0.0
+                or (step % cfg.loss.warmup_disc_every == 0)),)
         if K == 1:
             audio, msg = next(batches)
             idx, selections = scheduler.select_bank_indices(

@@ -86,6 +86,7 @@ def make_train_step(
     def train_step(state: TrainState, audio: jnp.ndarray, msg: jnp.ndarray,
                    effect_idx: jnp.ndarray, key: jnp.ndarray,
                    percep_scale: Optional[jnp.ndarray] = None,
+                   train_disc: Optional[jnp.ndarray] = None,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         k_fwd, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
 
@@ -109,12 +110,35 @@ def make_train_step(
                 gp_weight=loss_cfg.gp_weight,
             )
 
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
-        d_grads, d_grad_norm = clip_by_global_norm(d_grads, MAX_GRADIENT_NORM)
-        d_updates, disc_opt_state = disc_tx.update(
-            d_grads, state.disc_opt_state, state.disc_params
-        )
-        disc_params = optax.apply_updates(state.disc_params, d_updates)
+        def _disc_update(_):
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+            d_grads, d_grad_norm = clip_by_global_norm(
+                d_grads, MAX_GRADIENT_NORM
+            )
+            d_updates, disc_opt_state = disc_tx.update(
+                d_grads, state.disc_opt_state, state.disc_params
+            )
+            disc_params = optax.apply_updates(state.disc_params, d_updates)
+            return d_loss, d_grad_norm, disc_params, disc_opt_state
+
+        if train_disc is None:
+            d_loss, d_grad_norm, disc_params, disc_opt_state = _disc_update(
+                None
+            )
+        else:
+            # host-gated discriminator cadence (train/loop.py: every step
+            # once the BER-gated ramp starts squeezing; every
+            # warmup.disc_every-th step while it is closed). While the
+            # adversarial weight sits at init_scale the disc only needs to
+            # stay warm, not sharp, and its ensemble + second-order gradient
+            # penalty is a large share of the step's device time.
+            d_loss, d_grad_norm, disc_params, disc_opt_state = jax.lax.cond(
+                jnp.asarray(train_disc, bool),
+                _disc_update,
+                lambda _: (jnp.float32(0.0), jnp.float32(0.0),
+                           state.disc_params, state.disc_opt_state),
+                None,
+            )
 
         # ---- 3. generator losses vs the UPDATED discriminator -------------
         new_disc_apply = disc_apply_fn(disc_params)
@@ -149,7 +173,17 @@ def make_train_step(
                 pow=loss_cfg.mel_pow,
             )
             logs["waveform/loss"] = l1_loss(w, audio)
-            adv_gen, adv_feat = generator_loss(new_disc_apply, w, audio)
+            if train_disc is None:
+                adv_gen, adv_feat = generator_loss(new_disc_apply, w, audio)
+            else:
+                # skip the disc forwards (and their pullback) on gated steps;
+                # the zero replaces lambda_adv_gen's contribution exactly
+                adv_gen, adv_feat = jax.lax.cond(
+                    jnp.asarray(train_disc, bool),
+                    lambda w_: generator_loss(new_disc_apply, w_, audio),
+                    lambda w_: (jnp.float32(0.0), jnp.float32(0.0)),
+                    w,
+                )
             logs["adv/gen_loss"] = adv_gen
             logs["adv/feat_loss"] = adv_feat  # logged, weight 0 (base.yml quirk)
             logs["dec/loss"] = decoding_loss(
@@ -243,14 +277,16 @@ def make_multi_train_step(
 
     def multi(state: TrainState, audios: jnp.ndarray, msgs: jnp.ndarray,
               idxs: jnp.ndarray, key: jnp.ndarray,
-              percep_scale: Optional[jnp.ndarray] = None):
+              percep_scale: Optional[jnp.ndarray] = None,
+              train_disc: Optional[jnp.ndarray] = None):
         def body(st, inp):
             a, m, i = inp
             # the inner step folds `key` with st.step, which increments
             # every iteration — each scanned step gets fresh randomness.
-            # percep_scale (BER-gated ramp) is held constant within the
-            # dispatch; the host updates it between dispatches.
-            return step(st, a, m, i, key, percep_scale)
+            # percep_scale (BER-gated ramp) and train_disc (disc cadence)
+            # are held constant within the dispatch; the host updates them
+            # between dispatches.
+            return step(st, a, m, i, key, percep_scale, train_disc)
 
         return jax.lax.scan(body, state, (audios, msgs, idxs),
                             length=steps_per_dispatch)
