@@ -26,9 +26,11 @@ cd "$(dirname "$0")/.."
 CKPT=${CKPT:-checkpoints/demo_r2c}
 STEPS=${STEPS:-60000}
 RESUME=${RESUME:-}
+EXTRA=${EXTRA:-}
 
 exec python -m waveverify_tpu.train \
   --ckpt-dir "$CKPT" \
+  --log-file "$CKPT/train_log.jsonl" \
   --batch-size 16 \
   --no-remat --pallas off \
   --max-steps "$STEPS" \
@@ -36,9 +38,10 @@ exec python -m waveverify_tpu.train \
   --set train_duration=0.9 \
   --set warmup.steps=6000 --set warmup.init_scale=0.01 \
   --set warmup.ber_gate=0.05 \
+  --set warmup.disc_every=4 \
   --set valid_freq=1000 \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \
   --set AdamW.detector_lr_mult=10 \
   --set lambdas.dec/loss_clean=10000 \
-  $RESUME
+  $RESUME $EXTRA
