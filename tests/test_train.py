@@ -546,3 +546,43 @@ def test_train_step_host_percep_scale(setup):
               + cfg.loss.lambda_waveform * hi["waveform/loss"]
               + cfg.loss.lambda_adv_gen * hi["adv/gen_loss"])
     assert hi["loss"] - lo["loss"] == pytest.approx(percep, rel=1e-3)
+
+
+def test_generator_lr_mult():
+    """AdamW.generator_lr_mult scales only the generator subtree's step and
+    keeps the optax state pytree structure identical to detector_lr_mult-only
+    runs (resume compatibility across the flag flip)."""
+    import optax
+    from waveverify_tpu.config import OptimConfig
+    from waveverify_tpu.train.state import make_optimizers
+
+    params = {
+        "generator": {"w": jnp.ones((4,))},
+        "detector": {"w": jnp.ones((4,))},
+        "locator": {"w": jnp.ones((4,))},
+    }
+    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.5), params)
+
+    tx, _ = make_optimizers(OptimConfig(detector_lr_mult=10.0,
+                                        generator_lr_mult=3.0))
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+    # first bias-corrected Adam step magnitude ~= lr per subtree
+    mags = {k: float(jnp.abs(upd[k]["w"]).mean()) for k in params}
+    assert mags["generator"] == pytest.approx(3.0 * mags["locator"], rel=0.05)
+    assert mags["detector"] == pytest.approx(10.0 * mags["locator"], rel=0.05)
+
+    # same state structure as a detector-mult-only optimizer -> resumable
+    tx_old, _ = make_optimizers(OptimConfig(detector_lr_mult=10.0))
+    assert (jax.tree_util.tree_structure(tx_old.init(params))
+            == jax.tree_util.tree_structure(st))
+
+
+def test_generator_lr_mult_yaml_key(tmp_path):
+    from waveverify_tpu.config import load_config
+
+    p = tmp_path / "c.yml"
+    p.write_text("AdamW.generator_lr_mult: 2.5\nAdamW.detector_lr_mult: 4\n")
+    cfg = load_config(str(p))
+    assert cfg.optim.generator_lr_mult == 2.5
+    assert cfg.optim.detector_lr_mult == 4.0

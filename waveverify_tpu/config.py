@@ -249,6 +249,11 @@ class OptimConfig:
     # reading side adapting faster than the writing side helps escape the
     # no-bit-channel saddle (see docs/TRAINING.md).
     detector_lr_mult: float = 1.0
+    # LR multiplier for the generator subtree; the message channel lives in
+    # the generator's FiLM pathway, which otherwise crawls at the shared lr
+    # while the perceptual ramp is closed. Resume-compatible with runs that
+    # used any *_lr_mult (the multi_transform state structure is identical).
+    generator_lr_mult: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -386,6 +391,8 @@ def load_config(path: Union[str, Path, None] = None,
         optim_kwargs["exp_gamma"] = float(explr["gamma"])
     if "detector_lr_mult" in adamw:
         optim_kwargs["detector_lr_mult"] = float(adamw["detector_lr_mult"])
+    if "generator_lr_mult" in adamw:
+        optim_kwargs["generator_lr_mult"] = float(adamw["generator_lr_mult"])
     optim = OptimConfig(**optim_kwargs)
 
     top: Dict[str, Any] = {}

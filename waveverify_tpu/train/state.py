@@ -56,7 +56,7 @@ def make_optimizers(cfg: OptimConfig) -> Tuple[optax.GradientTransformation,
             eps=1e-8, weight_decay=0.01,
         )
 
-    if cfg.detector_lr_mult != 1.0:
+    if cfg.detector_lr_mult != 1.0 or cfg.generator_lr_mult != 1.0:
         # Per-subtree LR for the watermarking optimizer. Labels are the
         # top-level param-tree keys ("generator"/"detector"/"locator") so the
         # transform follows the tree structure without hard-coding leaves.
@@ -68,7 +68,7 @@ def make_optimizers(cfg: OptimConfig) -> Tuple[optax.GradientTransformation,
 
         wm_tx = optax.multi_transform(
             {
-                "generator": make(cfg.lr),
+                "generator": make(cfg.lr * cfg.generator_lr_mult),
                 "detector": make(cfg.lr * cfg.detector_lr_mult),
                 "locator": make(cfg.lr),
             },
