@@ -20,3 +20,13 @@ python -m waveverify_tpu.eval \
   --checkpoint "$OUT" \
   --batch 16 --duration 5.0 \
   --json-out weights/demo_eval_sweep.json
+
+# bf16 BER-impact study (docs/ROADMAP.md): same sweep with one-pass bf16
+# convs; diff vs the f32-accumulation sweep above quantifies the serving
+# precision trade. Tolerates failure (e.g. wedged tunnel) — study is a
+# bonus artifact.
+python -m waveverify_tpu.eval \
+  --checkpoint "$OUT" \
+  --batch 16 --duration 5.0 --conv-precision default \
+  --json-out weights/demo_eval_sweep_bf16.json \
+  || echo "bf16 sweep failed (non-fatal)"

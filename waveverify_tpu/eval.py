@@ -229,9 +229,19 @@ def main() -> None:
     ap.add_argument("--duration", type=float, default=5.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--conv-precision", default=None,
+                    choices=("highest", "high", "default"),
+                    help="MXU conv precision for the sweep; 'default' = "
+                    "one-pass bf16 (run vs 'highest' for the bf16 BER-impact "
+                    "study, docs/ROADMAP.md)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if args.conv_precision:
+        from waveverify_tpu.modules.conv import set_conv_precision
+
+        set_conv_precision(args.conv_precision)
 
     from waveverify_tpu.api.core import WaveVerify
     from waveverify_tpu.config import load_config
@@ -260,8 +270,15 @@ def main() -> None:
         print(f"{tag:<42} {r['ber']:>7.4f} {r.get('tpr', float('nan')):>6.3f} "
               f"{r.get('fpr', float('nan')):>6.3f} {r['miou']:>7.4f}")
     if args.json_out:
+        payload = {"_meta": {"checkpoint": args.checkpoint,
+                             "batch": args.batch,
+                             "duration": args.duration,
+                             "seed": args.seed,
+                             "conv_precision": args.conv_precision
+                             or "highest"}}
+        payload.update(results)
         with open(args.json_out, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(payload, f, indent=2)
         print(f"\nwrote {args.json_out}")
 
 
