@@ -167,6 +167,11 @@ def run_sweep(
             "confidence": float(np.mean(np.asarray(conf))),
             "ber_full": float(np.mean(np.asarray(sample_ber_full))),
             "tpr_full": float(np.mean(exact_full)),
+            # per-bit accuracy over the batch (full-clip protocol): exposes
+            # the mid-training co-adaptation signature where individual bits
+            # sit at 1.0 / 0.0 / chance instead of improving uniformly
+            "bit_acc_full": [round(float(a), 4) for a in
+                             (decoded_full == bits).mean(axis=0)],
         }
         logger.info("%-40s ber=%.4f tpr=%.3f fpr=%.3f miou=%.4f "
                     "ber_full=%.4f tpr_full=%.3f",
