@@ -225,6 +225,17 @@ class LossConfig:
     # device time; once the ramp starts squeezing the cadence returns to
     # every step. 1 = reference parity (always). Requires warmup_ber_gate.
     warmup_disc_every: int = 1
+    # Alternating optimization while the BER-gated ramp is CLOSED: each
+    # period of warmup_alt_period steps updates the generator only for the
+    # first warmup_alt_gen_frac of the period and freezes it (detector +
+    # locator keep training) for the rest. Breaks the symmetric sign-flip
+    # equilibrium where generator and detector invert a bit's convention in
+    # lockstep every step — measured: individual bits pinned at 0.0 accuracy
+    # for 4k+ steps while mean BER plateaued. 0 = off (reference parity:
+    # joint updates every step). Requires warmup_ber_gate; once the ramp
+    # starts squeezing, joint updates resume every step.
+    warmup_alt_period: int = 0
+    warmup_alt_gen_frac: float = 0.25
     # Auxiliary decoding loss on the CLEAN watermarked audio (no
     # localization augmentation, no attacks; target = message everywhere).
     # 0.0 = reference parity (decoding loss only on the attacked path,
@@ -377,6 +388,10 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_ber_gate"] = float(warm["ber_gate"])
     if "disc_every" in warm:
         loss_kwargs["warmup_disc_every"] = int(warm["disc_every"])
+    if "alt_period" in warm:
+        loss_kwargs["warmup_alt_period"] = int(warm["alt_period"])
+    if "alt_gen_frac" in warm:
+        loss_kwargs["warmup_alt_gen_frac"] = float(warm["alt_gen_frac"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

@@ -65,20 +65,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_train_step(train_step: Callable, mesh: Mesh,
                      donate_state: bool = True,
                      with_percep_scale: bool = False,
-                     with_train_disc: bool = False) -> Callable:
+                     with_train_disc: bool = False,
+                     with_gen_scale: bool = False) -> Callable:
     """jit the train step over the mesh: state replicated (and donated so
     params/optimizer state update in place in HBM), batch tensors sharded on
     the data axis, PRNG key replicated.
 
     Signature expected: step(state, audio, msg, effect_idx, key) — plus a
-    trailing replicated host scalar per enabled flag: ``with_percep_scale``
-    (the BER-gated perceptual-ramp value, see train/loop.py BerGatedRamp)
-    and ``with_train_disc`` (the discriminator-cadence gate).
+    trailing replicated host scalar per enabled flag, in order:
+    ``with_percep_scale`` (the BER-gated perceptual-ramp value, see
+    train/loop.py BerGatedRamp), ``with_train_disc`` (the discriminator-
+    cadence gate) and ``with_gen_scale`` (the alternating-optimization
+    generator-update gate).
     """
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
     extra = (repl,) if with_percep_scale else ()
     if with_train_disc:
+        extra = extra + (repl,)
+    if with_gen_scale:
         extra = extra + (repl,)
     return jax.jit(
         train_step,
@@ -91,7 +96,8 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
 def shard_multi_step(multi_step: Callable, mesh: Mesh,
                      donate_state: bool = True,
                      with_percep_scale: bool = False,
-                     with_train_disc: bool = False) -> Callable:
+                     with_train_disc: bool = False,
+                     with_gen_scale: bool = False) -> Callable:
     """jit a K-steps-per-dispatch train fn (see make_multi_train_step):
     batch tensors are stacked [K, B, ...] with the batch (axis 1) sharded
     on the data axis; state replicated + donated."""
@@ -99,6 +105,8 @@ def shard_multi_step(multi_step: Callable, mesh: Mesh,
     stacked = NamedSharding(mesh, P(None, DATA_AXIS))
     extra = (repl,) if with_percep_scale else ()
     if with_train_disc:
+        extra = extra + (repl,)
+    if with_gen_scale:
         extra = extra + (repl,)
     return jax.jit(
         multi_step,

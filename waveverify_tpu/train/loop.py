@@ -378,18 +378,25 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         _coordination_barrier("waveverify_pre_replicate")
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    disc_gate = ramp is not None and cfg.loss.warmup_disc_every > 1
+    # alternating optimization (config warmup_alt_period): requires the
+    # BER-gated ramp (its progress==0 phase defines "channel formation").
+    # The train_disc flag is force-enabled alongside it so the positional
+    # trailing-scalar order (percep, disc, gen) stays fixed.
+    alt = ramp is not None and cfg.loss.warmup_alt_period > 0
+    disc_gate = (ramp is not None and cfg.loss.warmup_disc_every > 1) or alt
     if trainer.steps_per_dispatch > 1:
         step_fn = shard_multi_step(
             make_multi_train_step(models, cfg, bank,
                                   trainer.steps_per_dispatch), mesh,
             with_percep_scale=ramp is not None,
             with_train_disc=disc_gate,
+            with_gen_scale=alt,
         )
     else:
         step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
                                    with_percep_scale=ramp is not None,
-                                   with_train_disc=disc_gate)
+                                   with_train_disc=disc_gate,
+                                   with_gen_scale=alt)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -453,6 +460,18 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             ramp_args = ramp_args + (np.bool_(
                 ramp.progress > 0.0
                 or (step % cfg.loss.warmup_disc_every == 0)),)
+        gen_on = True
+        if alt:
+            # alternating optimization while the ramp is closed: generator
+            # updates for the first alt_gen_frac of each alt_period, frozen
+            # for the rest (detector/locator always update) — breaks the
+            # generator<->detector sign-flip lockstep on individual bits.
+            # Joint updates resume permanently once the ramp starts moving.
+            period = cfg.loss.warmup_alt_period
+            gen_on = (ramp.progress > 0.0
+                      or step % period
+                      < max(1, int(period * cfg.loss.warmup_alt_gen_frac)))
+            ramp_args = ramp_args + (np.float32(1.0 if gen_on else 0.0),)
         if K == 1:
             audio, msg = next(batches)
             idx, selections = scheduler.select_bank_indices(
@@ -532,6 +551,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             if ramp is not None:
                 host["ramp/percep_scale"] = ramp.scale()
                 host["ramp/ber_ema"] = ramp.ema
+            if alt:
+                host["ramp/gen_on"] = float(gen_on)
             tracker.update(last_step, host)
             logger.info(
                 "step %d loss %.4f dec %.4f loc %.4f ber %.4f miou %.4f",

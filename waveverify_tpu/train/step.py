@@ -87,6 +87,7 @@ def make_train_step(
                    effect_idx: jnp.ndarray, key: jnp.ndarray,
                    percep_scale: Optional[jnp.ndarray] = None,
                    train_disc: Optional[jnp.ndarray] = None,
+                   gen_update_scale: Optional[jnp.ndarray] = None,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         k_fwd, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
 
@@ -219,6 +220,15 @@ def make_train_step(
         gen_clipped, g_grad_norm = clip_by_global_norm(
             wm_grads["generator"], MAX_GRADIENT_NORM
         )
+        if gen_update_scale is not None:
+            # alternating optimization (loop.py AltSchedule / config
+            # warmup_alt_period): a host-fed 0/1 scalar freezes the
+            # generator's update while the detector re-aligns to its static
+            # code. Traced input — no recompiles across phases. Residual
+            # AdamW weight decay during frozen phases is lr*wd ~ 3e-6/step,
+            # negligible over a phase.
+            g = jnp.asarray(gen_update_scale, jnp.float32)
+            gen_clipped = jax.tree_util.tree_map(lambda t: t * g, gen_clipped)
         wm_grads = dict(wm_grads, generator=gen_clipped)
         wm_updates, wm_opt_state = wm_tx.update(
             wm_grads, state.wm_opt_state, state.wm_params
@@ -278,15 +288,17 @@ def make_multi_train_step(
     def multi(state: TrainState, audios: jnp.ndarray, msgs: jnp.ndarray,
               idxs: jnp.ndarray, key: jnp.ndarray,
               percep_scale: Optional[jnp.ndarray] = None,
-              train_disc: Optional[jnp.ndarray] = None):
+              train_disc: Optional[jnp.ndarray] = None,
+              gen_update_scale: Optional[jnp.ndarray] = None):
         def body(st, inp):
             a, m, i = inp
             # the inner step folds `key` with st.step, which increments
             # every iteration — each scanned step gets fresh randomness.
-            # percep_scale (BER-gated ramp) and train_disc (disc cadence)
-            # are held constant within the dispatch; the host updates them
-            # between dispatches.
-            return step(st, a, m, i, key, percep_scale, train_disc)
+            # percep_scale (BER-gated ramp), train_disc (disc cadence) and
+            # gen_update_scale (alternating optimization) are held constant
+            # within the dispatch; the host updates them between dispatches.
+            return step(st, a, m, i, key, percep_scale, train_disc,
+                        gen_update_scale)
 
         return jax.lax.scan(body, state, (audios, msgs, idxs),
                             length=steps_per_dispatch)
