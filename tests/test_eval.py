@@ -40,7 +40,9 @@ def test_run_sweep_structure(wv):
     assert set(results) == {"identity", "random_noise(0.001)"}
     for tag, r in results.items():
         assert set(r) == {"ber", "tpr", "fpr", "miou", "confidence",
-                          "ber_full", "tpr_full"}
+                          "ber_full", "tpr_full", "bit_acc_full"}
+        assert len(r["bit_acc_full"]) == 16
+        assert all(0.0 <= a <= 1.0 for a in r["bit_acc_full"])
         assert 0.0 <= r["ber"] <= 1.0, tag
         assert 0.0 <= r["ber_full"] <= 1.0, tag
         assert 0.0 <= r["miou"] <= 1.0, tag
