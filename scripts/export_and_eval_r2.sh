@@ -12,7 +12,7 @@ import jax
 from waveverify_tpu.api.core import WaveVerify
 from waveverify_tpu.convert import save_weights_npz
 wv = WaveVerify(checkpoint_path="${CKPT}/latest")
-p = save_weights_npz(wv.params, "${OUT}")
+p = save_weights_npz(wv.params, "${OUT}", config=wv.config)
 print("wrote", p)
 EOF
 

@@ -42,6 +42,7 @@ exec python -m waveverify_tpu.train \
   --set valid_freq=1000 \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \
+  --set Generator.msg_mode=carrier \
   --set AdamW.detector_lr_mult=10 \
   --set lambdas.dec/loss_clean=10000 \
   $RESUME $EXTRA

@@ -86,6 +86,13 @@ class WaveVerify:
 
         set_conv_precision(precision)
         self.config = config if config is not None else load_config(config_path)
+        if checkpoint_path is not None and config is None:
+            snap = self._peek_model_config(Path(checkpoint_path))
+            if snap:
+                from waveverify_tpu.config import apply_model_config
+
+                self.config = apply_model_config(self.config, snap)
+                logger.info("applied model-config snapshot from checkpoint")
         self.models = WatermarkModels.from_config(self.config)
         self.sample_rate = self.config.generator.sample_rate
         self.hop = self.config.generator.hop_length
@@ -132,6 +139,28 @@ class WaveVerify:
         return (repl,) + (batch,) * n_batch_args, batch
 
     # -- checkpoint loading ---------------------------------------------------
+
+    @staticmethod
+    def _peek_model_config(path: Path) -> Optional[dict]:
+        """Read the architecture snapshot a checkpoint carries, if any:
+        ``meta.json["model_config"]`` for orbax tag dirs (written by the
+        train loop) or the ``__config__`` entry of a compact ``.npz``."""
+        import json as _json
+
+        try:
+            if path.suffix == ".npz":
+                with np.load(path) as z:
+                    if "__config__" in z.files:
+                        return _json.loads(bytes(z["__config__"]).decode())
+                return None
+            for meta in (path / "meta.json",
+                         path / "latest" / "meta.json"):
+                if meta.exists():
+                    return _json.loads(meta.read_text()).get("model_config")
+        except Exception:
+            logger.warning("could not read model-config snapshot from %s",
+                           path, exc_info=True)
+        return None
 
     def _load_params(self, path: Path):
         if path.suffix in (".pth", ".pt", ".ckpt"):

@@ -66,6 +66,13 @@ class GeneratorConfig:
     # accelerates message-channel formation (training-side improvement,
     # does not affect converted-checkpoint inference).
     film_gamma_bias: float = 0.0
+    # Message-embedding mode: "reference" = learned MLP on {0,1} bits
+    # (reference seanet.py:831-839, converted-checkpoint parity);
+    # "carrier" = +/-1 bits + fixed orthonormal per-bit carrier added to the
+    # MLP output, making every bit's channel immune to weight-decay collapse
+    # (training-side improvement; see modules/seanet.py:_msg_embed).
+    msg_mode: str = "reference"
+    msg_carrier_gain: float = 1.0
     pad_mode: str = "constant"
     causal: bool = True
     zero_init: bool = False
@@ -265,6 +272,11 @@ class OptimConfig:
     # while the perceptual ramp is closed. Resume-compatible with runs that
     # used any *_lr_mult (the multi_transform state structure is identical).
     generator_lr_mult: float = 1.0
+    # Exempt the message-embedding MLP (msg_in/msg_hidden_*) and FiLM
+    # readouts (film_*) from AdamW weight decay. Reference decays the whole
+    # model (torch AdamW default 0.01); decay on these weights kills the
+    # audio channel of every not-yet-decoded bit (see train/state.py).
+    decay_exclude_msg_path: bool = True
 
 
 @dataclass(frozen=True)
@@ -332,6 +344,32 @@ def _build(cls, section: Dict[str, Any]):
             value = tuple(tuple(v) if isinstance(v, list) else v for v in value)
         kwargs[key] = value
     return cls(**kwargs)
+
+
+def model_config_dict(cfg: "TrainConfig") -> Dict[str, Any]:
+    """JSON-able snapshot of the model-architecture sections (saved in
+    checkpoint meta so inference reconstructs the exact architecture —
+    e.g. ``Generator.msg_mode`` — without the training command line)."""
+    return {
+        "Generator": dataclasses.asdict(cfg.generator),
+        "Detector": dataclasses.asdict(cfg.detector),
+        "Locator": dataclasses.asdict(cfg.locator),
+    }
+
+
+def apply_model_config(cfg: "TrainConfig", snap: Dict[str, Any]) -> "TrainConfig":
+    """Overlay a :func:`model_config_dict` snapshot onto ``cfg``."""
+    out = cfg
+    if snap.get("Generator"):
+        out = dataclasses.replace(
+            out, generator=_build(GeneratorConfig, snap["Generator"]))
+    if snap.get("Detector"):
+        out = dataclasses.replace(
+            out, detector=_build(DetectorConfig, snap["Detector"]))
+    if snap.get("Locator"):
+        out = dataclasses.replace(
+            out, locator=_build(LocatorConfig, snap["Locator"]))
+    return out
 
 
 def load_config(path: Union[str, Path, None] = None,

@@ -396,17 +396,28 @@ def save_converted(path: Union[str, Path], out_dir: Union[str, Path],
 
 
 def save_weights_npz(wm_params: Dict[str, Any], path: Union[str, Path],
-                     dtype=np.float16) -> Path:
+                     dtype=np.float16, config=None) -> Path:
     """Save the inference parameter tree as one compressed ``.npz``.
 
     This is the distribution format for pretrained weights: params only (no
     optimizer state), stored ``dtype`` (f16 halves the file; convs cast back
-    to f32 at load). Keys are '/'-joined tree paths.
+    to f32 at load). Keys are '/'-joined tree paths. ``config`` (a
+    TrainConfig) embeds an architecture snapshot under the reserved
+    ``__config__`` key so inference rebuilds the exact model (e.g.
+    ``Generator.msg_mode``) from the file alone.
     """
+    import json
+
     from flax.traverse_util import flatten_dict
 
     flat = flatten_dict(wm_params, sep="/")
     arrays = {k: np.asarray(v).astype(dtype) for k, v in flat.items()}
+    if config is not None:
+        from waveverify_tpu.config import model_config_dict
+
+        arrays["__config__"] = np.frombuffer(
+            json.dumps(model_config_dict(config)).encode(), dtype=np.uint8
+        )
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **arrays)
@@ -420,5 +431,6 @@ def load_weights_npz(path: Union[str, Path],
     from flax.traverse_util import unflatten_dict
 
     with np.load(Path(path)) as z:
-        flat = {k: np.asarray(z[k], dtype) for k in z.files}
+        flat = {k: np.asarray(z[k], dtype) for k in z.files
+                if not k.startswith("__")}
     return unflatten_dict(flat, sep="/")

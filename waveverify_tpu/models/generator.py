@@ -75,6 +75,8 @@ class Generator(nn.Module):
             embedding_layers=g.embedding_layers,
             film_gamma_bias=g.film_gamma_bias,
             freq_bands=g.freq_bands,
+            msg_mode=g.msg_mode,
+            msg_carrier_gain=g.msg_carrier_gain,
         )
         self.decoder = SEANetDecoder(
             channels=g.channels_audio,

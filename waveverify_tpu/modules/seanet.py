@@ -437,6 +437,8 @@ class SEANetEncoder(nn.Module):
     embedding_layers: int = 2
     freq_bands: int = 4
     film_gamma_bias: float = 0.0
+    msg_mode: str = "reference"  # "reference" | "carrier" (see _msg_embed)
+    msg_carrier_gain: float = 1.0
 
     @property
     def rev_ratios(self) -> List[int]:
@@ -448,12 +450,29 @@ class SEANetEncoder(nn.Module):
 
     def _msg_embed(self, msg: jnp.ndarray) -> jnp.ndarray:
         """Message MLP: Linear(msg->emb) then layers x [Linear, ReLU]
-        (reference seanet.py:831-839)."""
+        (reference seanet.py:831-839).
+
+        ``msg_mode="carrier"`` (training-side improvement; default
+        "reference" keeps converted-checkpoint parity): feed the MLP +/-1
+        bits instead of {0,1} (a 0-bit otherwise contributes nothing through
+        ``msg_in``) and add a *fixed orthonormal carrier* term so every bit
+        owns an immortal, mutually-orthogonal direction in embedding space.
+        Rationale (measured, round 2): with the learned-only map, AdamW
+        weight decay kills the embedding channel of any bit the detector has
+        not yet learned to decode (its decode gradient is pure noise), a
+        self-reinforcing death — per-bit audio-sensitivity probe on a 29k-step
+        checkpoint showed 11/16 bits with ~0 audio delta and exactly-chance
+        accuracy. The constant carrier has no weights to decay, so the
+        channel for every bit stays alive regardless of training dynamics.
+        """
+        carrier_mode = self.msg_mode == "carrier"
+        m = msg.astype(jnp.float32)
+        s = 2.0 * m - 1.0 if carrier_mode else m
         h = nn.Dense(
             self.embedding_dim,
             kernel_init=nn.initializers.truncated_normal(0.02),
             name="msg_in",
-        )(msg.astype(jnp.float32))
+        )(s)
         for i in range(self.embedding_layers):
             h = nn.Dense(
                 self.embedding_dim,
@@ -461,6 +480,14 @@ class SEANetEncoder(nn.Module):
                 name=f"msg_hidden_{i}",
             )(h)
             h = jax.nn.relu(h)
+        if carrier_mode:
+            # Deterministic orthonormal columns (numpy at trace time — a
+            # compile-time constant, never a parameter).
+            rs = np.random.RandomState(16)
+            c = np.linalg.qr(
+                rs.randn(self.embedding_dim, self.msg_dimension)
+            )[0].astype(np.float32)  # [emb, nbits], orthonormal columns
+            h = h + s @ jnp.asarray(c.T) * self.msg_carrier_gain
         return h
 
     @nn.compact

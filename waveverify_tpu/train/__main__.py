@@ -61,6 +61,11 @@ def main() -> None:
                     help="warm-start generator/detector/locator params from "
                     "a save_weights_npz file (used when --resume finds no "
                     "checkpoint; optimizer state starts fresh)")
+    ap.add_argument("--reinit-msg-path", action="store_true",
+                    help="after resume/warm-start, re-initialize the "
+                    "generator's message-embedding MLP (msg_in/msg_hidden_*) "
+                    "— for continuing checkpoints with weight-decay-collapsed "
+                    "message channels or switching Generator.msg_mode")
     ap.add_argument("--log-file", default="train_log.jsonl")
     ap.add_argument("--tensorboard", default=None, metavar="DIR",
                     help="also mirror scalars to TensorBoard events in DIR")
@@ -158,6 +163,7 @@ def main() -> None:
         conv_precision=args.conv_precision,
         effect_dispatch=args.effect_dispatch,
         init_weights=args.init_weights,
+        reinit_msg_path=args.reinit_msg_path,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

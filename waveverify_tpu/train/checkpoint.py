@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import shutil
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -111,6 +111,25 @@ def load_checkpoint(ckpt_dir: str, tag: str, target_state: Any
         treedef = jax.tree_util.tree_structure(target_state)
         restored = jax.tree_util.tree_unflatten(treedef, leaves)
     return restored, meta
+
+
+def load_state_free(ckpt_dir: str, tag: str) -> Tuple[Any, Dict[str, Any]]:
+    """Structure-free restore: the raw on-disk tree (nested dicts of numpy
+    arrays) plus meta.json. Lets a resume survive optimizer-chain structure
+    changes (e.g. a weight-decay mask added between runs): the caller grafts
+    ``wm_params``/``disc_params``/``step`` onto a freshly-built TrainState
+    and starts the optimizer state fresh."""
+    path = Path(ckpt_dir) / tag
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    meta: Dict[str, Any] = {}
+    meta_file = path / "meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+    if _HAVE_ORBAX and (path / "state").exists():
+        ckptr = _pytree_checkpointer()
+        return ckptr.restore((path / "state").resolve()), meta
+    raise FileNotFoundError(f"no orbax state under {path}")
 
 
 def load_params(ckpt_dir: str, tag: str) -> Any:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import logging
 import time
+from collections.abc import Mapping
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, Iterator, List, Optional, Tuple
@@ -24,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from waveverify_tpu.config import TrainConfig
+from waveverify_tpu.config import TrainConfig, model_config_dict
 from waveverify_tpu.effects.effects import EffectBank
 from waveverify_tpu.effects.effects_config import load_effects_config
 from waveverify_tpu.effects.scheduler import EffectScheduler
@@ -244,6 +245,11 @@ class TrainerConfig:
     # boundary wipes the (gitignored) orbax dirs. Optimizer state, the
     # discriminator, and the step counter start fresh.
     init_weights: Optional[str] = None
+    # After resume/warm-start, replace the generator's message-embedding MLP
+    # (msg_in/msg_hidden_*) with fresh init. Used when continuing a
+    # checkpoint whose message channels collapsed under weight decay (see
+    # modules/seanet.py:_msg_embed) or when switching Generator.msg_mode.
+    reinit_msg_path: bool = False
     log_file: Optional[str] = "train_log.jsonl"
     save_iters: Tuple[int, ...] = (100000, 200000, 400000, 600000)
     num_devices: Optional[int] = None
@@ -343,9 +349,31 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, key, models)
+    fresh_wm_params = state.wm_params if trainer.reinit_msg_path else None
     start_step = 0
     if resume and "latest" in ckpt.checkpoint_tags(trainer.ckpt_dir):
-        state, meta = ckpt.load_checkpoint(trainer.ckpt_dir, "latest", state)
+        try:
+            state, meta = ckpt.load_checkpoint(trainer.ckpt_dir, "latest",
+                                               state)
+        except ValueError:
+            # Optimizer-chain structure changed between runs (e.g. the
+            # weight-decay mask or an lr-mult multi_transform was added):
+            # restore params + step structure-free, start optimizer fresh.
+            logger.warning(
+                "full-state resume failed (optimizer structure changed) — "
+                "params-only resume, optimizer state starts fresh")
+            raw, meta = ckpt.load_state_free(trainer.ckpt_dir, "latest")
+
+            def _cast(template, loaded):
+                return jax.tree_util.tree_map(
+                    lambda init, new: jnp.asarray(new, init.dtype).reshape(
+                        init.shape), template, loaded)
+
+            state = state.replace(
+                wm_params=_cast(state.wm_params, raw["wm_params"]),
+                disc_params=_cast(state.disc_params, raw["disc_params"]),
+                step=jnp.asarray(raw["step"], state.step.dtype),
+            )
         start_step = int(meta.get("step", 0))
         if meta.get("scheduler_state"):
             scheduler.load_state_dict(meta["scheduler_state"])
@@ -364,6 +392,30 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             state.wm_params, loaded,
         ))
         logger.info("warm-started wm_params from %s", trainer.init_weights)
+    # Once-only guard: supervisors relaunch the trainer with identical flags
+    # after a crash; re-grafting on every resume would wipe msg-path
+    # learning each time.
+    reinit_sentinel = Path(trainer.ckpt_dir) / ".msg_reinit_done"
+    if fresh_wm_params is not None and reinit_sentinel.exists():
+        logger.info("msg-path reinit already done (%s) — skipping",
+                    reinit_sentinel)
+        fresh_wm_params = None
+    if fresh_wm_params is not None:
+        def _graft_msg(fresh, loaded, in_msg=False):
+            if isinstance(fresh, Mapping):
+                return {
+                    k: _graft_msg(fresh[k], loaded[k],
+                                  in_msg or k.startswith(("msg_", "film_")))
+                    for k in fresh
+                }
+            return fresh if in_msg else loaded
+
+        state = state.replace(
+            wm_params=_graft_msg(fresh_wm_params, state.wm_params))
+        if is_proc0:
+            reinit_sentinel.parent.mkdir(parents=True, exist_ok=True)
+            reinit_sentinel.touch()
+        logger.info("re-initialized message path (msg_*, film_*)")
     # Commit the state to the mesh BEFORE the first step: host-built arrays
     # have no mesh in their aval sharding, so the state returned by step 1
     # (mesh-typed) would otherwise be a cache miss and the whole train step
@@ -603,6 +655,10 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 "step": step_end,
                 "scheduler_state": scheduler.state_dict(),
                 "best_val_loss": tracker.best_val_loss,
+                # architecture snapshot: inference (api.core.WaveVerify)
+                # rebuilds the exact model config from this, so knobs like
+                # Generator.msg_mode survive without the training CLI
+                "model_config": model_config_dict(cfg),
             }
             if ramp is not None:
                 host_state["ramp_state"] = ramp.state_dict()

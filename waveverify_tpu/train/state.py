@@ -15,6 +15,7 @@ NamedSharding in parallel/mesh.py if the model ever grows.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from typing import Any, Dict, Tuple
 
 import jax
@@ -47,13 +48,34 @@ def make_optimizers(cfg: OptimConfig) -> Tuple[optax.GradientTransformation,
     so the step function clips explicitly before calling ``update``.
     """
 
+    def decay_mask(params: Any) -> Any:
+        """True = apply weight decay. With ``decay_exclude_msg_path`` the
+        message-embedding MLP and FiLM readouts are exempt: for a bit the
+        detector cannot yet decode, the decode gradient on these weights is
+        pure noise, so decay monotonically kills that bit's audio channel
+        (measured: 11/16 dead channels after 29k steps, see
+        modules/seanet.py:_msg_embed). Deviation from the reference's
+        whole-model torch AdamW(0.01) — documented in docs/TRAINING.md."""
+        if not cfg.decay_exclude_msg_path:
+            return jax.tree_util.tree_map(lambda _: True, params)
+
+        def walk(tree, exempt):
+            if isinstance(tree, Mapping):
+                return {
+                    k: walk(v, exempt or k.startswith(("msg_", "film_")))
+                    for k, v in tree.items()
+                }
+            return not exempt
+
+        return walk(params, False)
+
     def make(lr: float) -> optax.GradientTransformation:
         schedule = optax.exponential_decay(
             init_value=lr, transition_steps=1, decay_rate=cfg.exp_gamma
         )
         return optax.adamw(
             learning_rate=schedule, b1=cfg.beta1, b2=cfg.beta2,
-            eps=1e-8, weight_decay=0.01,
+            eps=1e-8, weight_decay=0.01, mask=decay_mask,
         )
 
     if cfg.detector_lr_mult != 1.0 or cfg.generator_lr_mult != 1.0:
