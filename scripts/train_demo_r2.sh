@@ -18,6 +18,11 @@
 # - film_gamma_bias=1 + detector_lr_mult=10 + lambdas.dec/loss_clean:
 #   saddle-escape set (see docs/TRAINING.md); the A/B overfit probe shows
 #   BER 0 in 120 steps with these vs 0.22+ at 360 without.
+# - film_carrier_gain: gain-space carrier (docs/TRAINING.md) — the
+#   embedding-space carrier alone still left per-bit audio amplitude to
+#   random Dense(1) projection conditioning; at step 32k only the ~5
+#   best-conditioned bits had formed. The Hadamard gain-space signature
+#   gives all 16 bits equal-power all-band channels by construction.
 # - valid_freq 1000 doubles as the checkpoint cadence -> resume-safe with
 #   --resume after any interruption.
 set -euo pipefail
@@ -43,6 +48,7 @@ exec python -m waveverify_tpu.train \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \
   --set Generator.msg_mode=carrier \
+  --set Generator.film_carrier_gain="${FILM_CARRIER_GAIN:-0.3}" \
   --set AdamW.detector_lr_mult=10 \
   --set lambdas.dec/loss_clean=10000 \
   $RESUME $EXTRA

@@ -99,6 +99,57 @@ def test_decay_mask_msg_path(exclude):
         assert msg_upd > 0 and film_upd > 0
 
 
+def test_film_carrier_matrix_properties():
+    from waveverify_tpu.modules.seanet import _film_carrier
+
+    # base config: 4 scales x 4 bands -> 32 slots -> Hadamard path
+    sig = _film_carrier(16, 16)
+    assert sig.shape == (16, 32)
+    assert np.allclose(sig @ sig.T, np.eye(16), atol=1e-5)  # orthonormal
+    # Hadamard: every bit touches every slot with identical magnitude
+    assert np.allclose(np.abs(sig), 1.0 / np.sqrt(32), atol=1e-6)
+    # non-power-of-two slot count: QR fallback, rows still unit-norm
+    sig2 = _film_carrier(16, 12)  # 24 slots
+    assert sig2.shape == (16, 24)
+    assert np.allclose(np.linalg.norm(sig2, axis=1), 1.0, atol=1e-5)
+
+
+def test_film_carrier_equal_per_bit_deltas():
+    """Gain-space carrier: every bit's latent signature has near-equal
+    power (the embedding-space carrier alone leaves per-bit amplitude to
+    random Dense(1) projection conditioning — the step-32k failure)."""
+    enc = SEANetEncoder(msg_mode="carrier", film_carrier_gain=0.3, **TINY)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 3200, 1).astype(np.float32) * 0.1)
+    msg0 = jnp.asarray(rng.randint(0, 2, (1, 16)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x, msg0)
+    apply = jax.jit(enc.apply)
+    z0 = apply(params, x, msg0)
+    deltas = []
+    for j in range(16):
+        m = np.array(msg0)
+        m[:, j] = 1 - m[:, j]
+        zj = apply(params, x, jnp.asarray(m))
+        deltas.append(float(jnp.sqrt(jnp.mean((zj - z0) ** 2))))
+    deltas = np.asarray(deltas)
+    assert (deltas > 0).all(), deltas
+    assert deltas.min() / deltas.max() > 0.2, deltas
+
+
+def test_film_carrier_params_unchanged():
+    """film_carrier_gain is a compile-time constant — same parameter tree,
+    so a trained checkpoint resumes with the carrier switched on."""
+    enc_off = SEANetEncoder(msg_mode="carrier", **TINY)
+    enc_on = SEANetEncoder(
+        msg_mode="carrier", film_carrier_gain=0.3, **TINY)
+    x = jnp.zeros((1, 3200, 1))
+    m = jnp.zeros((1, 16))
+    p_off = enc_off.init(jax.random.PRNGKey(0), x, m)
+    p_on = enc_on.init(jax.random.PRNGKey(0), x, m)
+    assert jax.tree_util.tree_structure(p_off) == \
+        jax.tree_util.tree_structure(p_on)
+
+
 def test_model_config_snapshot_roundtrip():
     cfg = load_config(None, overrides={"Generator.msg_mode": "carrier"})
     snap = json.loads(json.dumps(model_config_dict(cfg)))

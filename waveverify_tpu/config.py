@@ -73,6 +73,16 @@ class GeneratorConfig:
     # (training-side improvement; see modules/seanet.py:_msg_embed).
     msg_mode: str = "reference"
     msg_carrier_gain: float = 1.0
+    # Gain-space carrier (training-side improvement, default off): inject a
+    # fixed orthogonal +/-1 signature per bit DIRECTLY into the FiLM
+    # gamma/beta slots (Hadamard rows over the scales x bands x {gamma,beta}
+    # grid). The embedding-space carrier above still passes through
+    # near-zero-init Dense(1) projections, so per-bit audio amplitudes are
+    # set by random projection conditioning — measured at step 32k, only the
+    # ~5 best-conditioned bits formed a decodable channel. The gain-space
+    # carrier gives every bit an equal-power, all-band, mutually-orthogonal
+    # signature by construction (see modules/seanet.py:_film_carrier).
+    film_carrier_gain: float = 0.0
     pad_mode: str = "constant"
     causal: bool = True
     zero_init: bool = False

@@ -77,6 +77,7 @@ class Generator(nn.Module):
             freq_bands=g.freq_bands,
             msg_mode=g.msg_mode,
             msg_carrier_gain=g.msg_carrier_gain,
+            film_carrier_gain=g.film_carrier_gain,
         )
         self.decoder = SEANetDecoder(
             channels=g.channels_audio,

@@ -109,7 +109,8 @@ class FiLM(nn.Module):
     gamma_bias: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray,
+                 offsets: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         gamma = nn.Dense(
             1, kernel_init=nn.initializers.truncated_normal(0.02),
             bias_init=nn.initializers.constant(self.gamma_bias), name="gamma"
@@ -117,8 +118,42 @@ class FiLM(nn.Module):
         beta = nn.Dense(
             1, kernel_init=nn.initializers.truncated_normal(0.02), name="beta"
         )(condition)
+        if offsets is not None:
+            # gain-space carrier: fixed per-bit +/- signature added directly
+            # to this site's (gamma, beta) — constants, no parameters (see
+            # _film_carrier and GeneratorConfig.film_carrier_gain)
+            gamma = gamma + offsets[:, 0:1]
+            beta = beta + offsets[:, 1:2]
         # x: [B, T, C_band]; gamma/beta: [B, 1]
         return x * gamma[:, None, :] + beta[:, None, :]
+
+
+def _film_carrier(nbits: int, n_sites: int) -> np.ndarray:
+    """Fixed orthogonal per-bit signatures over the FiLM gain slots.
+
+    Returns [nbits, 2 * n_sites] with exactly orthonormal rows: bit i's
+    signature spans every (scale, band) site's gamma AND beta slot. When the
+    slot count is a power of two >= nbits + 1 (the base config: 4 scales x
+    4 bands x 2 = 32), rows come from a Sylvester-Hadamard matrix (skipping
+    the all-ones row so no bit aliases global loudness) — every bit touches
+    every site with identical magnitude, differing only in sign, so all bits
+    are exactly symmetric in gain space and survive band-limited attacks
+    equally. Otherwise (tiny test configs) a fixed random orthonormal basis
+    (QR) is used; rows stay orthonormal, spread is merely near-uniform.
+    """
+    slots = 2 * n_sites
+    if slots >= nbits + 1 and slots & (slots - 1) == 0:
+        h = np.ones((1, 1), np.float64)
+        while h.shape[0] < slots:
+            h = np.block([[h, h], [h, -h]])
+        sig = h[1:nbits + 1] / np.sqrt(slots)
+    else:
+        rs = np.random.RandomState(17)
+        q = np.linalg.qr(rs.randn(max(slots, nbits), nbits))[0]  # orth cols
+        sig = q[:slots].T  # [nbits, slots]; orthonormal rows iff slots>=nbits
+        norms = np.linalg.norm(sig, axis=1, keepdims=True)
+        sig = sig / np.maximum(norms, 1e-8)
+    return sig.astype(np.float32)
 
 
 def _dws_conv_block(
@@ -439,6 +474,7 @@ class SEANetEncoder(nn.Module):
     film_gamma_bias: float = 0.0
     msg_mode: str = "reference"  # "reference" | "carrier" (see _msg_embed)
     msg_carrier_gain: float = 1.0
+    film_carrier_gain: float = 0.0  # gain-space carrier (see _film_carrier)
 
     @property
     def rev_ratios(self) -> List[int]:
@@ -517,8 +553,18 @@ class SEANetEncoder(nn.Module):
         # msg_embedding/film even when unused, e.g. in the Detector), but
         # only spend compute when a message is provided.
         msg_embedded = None
+        film_offsets = None
         if msg is not None:
             msg_embedded = self._msg_embed(msg)
+            if self.film_carrier_gain > 0:
+                sig = _film_carrier(
+                    self.msg_dimension,
+                    len(ratios) * self.freq_bands,
+                )  # [nbits, 2 * n_sites], compile-time constant
+                s = 2.0 * msg.astype(jnp.float32) - 1.0
+                film_offsets = (
+                    s @ jnp.asarray(sig)
+                ) * self.film_carrier_gain  # [B, 2 * n_sites]
         elif self.is_initializing():
             self._msg_embed(jnp.zeros((1, self.msg_dimension), jnp.float32))
 
@@ -614,10 +660,18 @@ class SEANetEncoder(nn.Module):
                 bands = []
                 for band_idx in range(self.freq_bands):
                     band = x[..., band_idx * band_width : (band_idx + 1) * band_width]
+                    site = block_idx * self.freq_bands + band_idx
                     band = FiLM(
                         gamma_bias=self.film_gamma_bias,
                         name=f"film_{block_idx}_{band_idx}",
-                    )(band, cond)
+                    )(
+                        band, cond,
+                        offsets=(
+                            film_offsets[:, 2 * site : 2 * site + 2]
+                            if film_offsets is not None
+                            else None
+                        ),
+                    )
                     bands.append(band)
                 modulated = jnp.concatenate(bands, axis=-1)
                 if msg_embedded is not None:
