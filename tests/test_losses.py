@@ -89,6 +89,35 @@ def test_decoding_loss_masks_message():
     assert float(losses.decoding_loss(logits, zero_mask, msg)) > full
 
 
+def test_decoding_loss_bits():
+    b, t, w = 2, 100, 16
+    rng = np.random.RandomState(0)
+    msg = jnp.asarray(rng.randint(0, 2, (b, w)), jnp.float32)
+    # weak-but-right per-frame logits: per-frame BCE is far from 0, yet the
+    # time-mean decides every bit correctly -> bit-level loss is small
+    logits = jnp.broadcast_to((msg[:, None, :] * 2 - 1) * 0.2, (b, t, w))
+    noise = jnp.asarray(rng.randn(b, t, w) * 2.0, jnp.float32)
+    noisy = logits + noise - jnp.mean(noise, axis=1, keepdims=True)
+    mask = jnp.ones((b, t))
+    bits = float(losses.decoding_loss_bits(noisy, mask, msg))
+    frame = float(losses.decoding_loss(noisy, mask, msg))
+    assert bits < frame  # the decision quantity is already right
+    # None mask == all-ones mask
+    assert np.isclose(
+        bits, float(losses.decoding_loss_bits(noisy, None, msg)), atol=1e-6)
+    # masked mean: frames outside the mask must not affect the bit decision
+    half = jnp.concatenate(
+        [jnp.ones((b, t // 2)), jnp.zeros((b, t - t // 2))], axis=1)
+    corrupted = noisy.at[:, t // 2:, :].set(-100.0)
+    masked = float(losses.decoding_loss_bits(corrupted, half, msg))
+    ref = float(losses.decoding_loss_bits(noisy[:, : t // 2], None, msg))
+    assert np.isclose(masked, ref, atol=1e-5)
+    # gradient flows toward flipping wrong decisions
+    g = jax.grad(
+        lambda lg: losses.decoding_loss_bits(lg, mask, msg))(noisy)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
+
+
 def test_localization_loss():
     b, t = 2, 100
     mask = jnp.asarray((np.random.RandomState(1).rand(b, t) > 0.5), jnp.float32)

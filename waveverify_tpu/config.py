@@ -83,6 +83,18 @@ class GeneratorConfig:
     # carrier gives every bit an equal-power, all-band, mutually-orthogonal
     # signature by construction (see modules/seanet.py:_film_carrier).
     film_carrier_gain: float = 0.0
+    # Latent-space carrier (training-side improvement, default off): add a
+    # fixed orthonormal per-bit direction to the ENCODER OUTPUT latent,
+    # scaled by `gain * rms(latent)` (stop-gradient). Rationale: measured at
+    # step 33k, the audio-domain Jacobian of the FiLM gain slots is
+    # effectively rank-~2, so even an equal-power orthogonal gain-space
+    # carrier leaves half the bits with ~zero audio signature (Hadamard sign
+    # sums over the dominant slots cancel). The decoder's Jacobian over its
+    # own input latent is well-conditioned by construction — it is trained
+    # to synthesize audio from every latent direction — so latent-space
+    # signatures give every bit a comparable audio-domain channel
+    # (models/generator.py).
+    latent_carrier_gain: float = 0.0
     pad_mode: str = "constant"
     causal: bool = True
     zero_init: bool = False
@@ -261,6 +273,13 @@ class LossConfig:
     # message code forms — the standard two-term decode objective of recent
     # audio-watermark recipes — and costs one extra detector forward.
     lambda_dec_clean: float = 0.0
+    # Bit-level decoding BCE on the masked time-MEAN logit (the deployed
+    # decision quantity) — applied to the attacked path and, when
+    # lambda_dec_clean > 0, to the clean path too. 0.0 = reference parity.
+    # The per-frame BCE's gradient is dominated by confidently-wrong frames;
+    # this term pushes the per-bit decision directly (losses.py:
+    # decoding_loss_bits).
+    lambda_dec_bits: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -409,6 +428,7 @@ def load_config(path: Union[str, Path, None] = None,
         "loc/loss": "lambda_loc",
         "dec/loss": "lambda_dec",
         "dec/loss_clean": "lambda_dec_clean",
+        "dec/loss_bits": "lambda_dec_bits",
     }
     for k, v in (lambdas or {}).items():
         if k in lam_map:

@@ -46,12 +46,12 @@ def l2_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(x - y))
 
 
-def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable BCEWithLogitsLoss(reduction='mean')."""
-    return jnp.mean(
-        jnp.maximum(logits, 0.0) - logits * targets
-        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
+                    reduce: bool = True) -> jnp.ndarray:
+    """Numerically-stable BCEWithLogitsLoss (mean when ``reduce``)."""
+    out = (jnp.maximum(logits, 0.0) - logits * targets
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return jnp.mean(out) if reduce else out
 
 
 def sisdr_loss(estimate: jnp.ndarray, reference: jnp.ndarray,
@@ -257,3 +257,29 @@ def decoding_loss(detector_logits: jnp.ndarray, presence_mask: jnp.ndarray,
     detector_logits [B, T, W]; presence_mask [B, T]; message [B, W]."""
     target = message[:, None, :] * presence_mask[:, :, None]
     return bce_with_logits(detector_logits, target)
+
+
+def decoding_loss_bits(detector_logits: jnp.ndarray,
+                       presence_mask: Optional[jnp.ndarray],
+                       message: jnp.ndarray) -> jnp.ndarray:
+    """Bit-level decoding BCE on the (masked) time-MEAN logit.
+
+    Training-side improvement (no reference counterpart): the deployed
+    decision rule thresholds the time-averaged detector output per bit, but
+    the per-frame BCE above demands per-frame confidence — its gradient is
+    dominated by frames that are already confidently wrong, not by the
+    decision quantity. This term applies BCE directly to the masked
+    time-mean logit per bit, so the gradient pushes every watermarked frame
+    toward flipping the *decision* — the quantity BER actually measures.
+    detector_logits [B, T, W]; presence_mask [B, T] or None (= all frames);
+    message [B, W].
+    """
+    if presence_mask is None:
+        z = jnp.mean(detector_logits, axis=1)  # [B, W]
+        return bce_with_logits(z, message)
+    m = presence_mask[:, :, None]  # [B, T, 1]
+    denom = jnp.sum(m, axis=1)  # [B, 1]
+    z = jnp.sum(detector_logits * m, axis=1) / jnp.maximum(denom, 1.0)
+    valid = (denom > 0).astype(z.dtype)  # samples with any watermarked frame
+    per_bit = bce_with_logits(z, message, reduce=False) * valid
+    return jnp.sum(per_bit) / jnp.maximum(jnp.sum(valid) * z.shape[-1], 1.0)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -120,9 +121,32 @@ class Generator(nn.Module):
     def decode(self, latent: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(latent)
 
+    def _latent_carrier(self, latent: jnp.ndarray,
+                        msg: jnp.ndarray) -> jnp.ndarray:
+        """Fixed orthonormal per-bit latent directions, scaled relative to
+        the latent's own RMS (stop-gradient) so ``latent_carrier_gain`` is a
+        content-independent fraction. Constants only — no parameters, so
+        checkpoints resume with the carrier switched on. See
+        GeneratorConfig.latent_carrier_gain for the conditioning rationale.
+        """
+        g = self.config
+        rs = np.random.RandomState(18)
+        c = np.linalg.qr(
+            rs.randn(g.dimension, g.msg_dimension)
+        )[0].astype(np.float32)  # [dim, nbits], orthonormal columns
+        s = 2.0 * msg.astype(jnp.float32) - 1.0  # [B, nbits]
+        rms = jnp.sqrt(jnp.mean(jnp.square(latent), axis=(1, 2),
+                                keepdims=True) + 1e-12)
+        rms = jax.lax.stop_gradient(rms)
+        off = (s @ jnp.asarray(c.T))[:, None, :]  # [B, 1, dim]
+        return latent + g.latent_carrier_gain * rms * off
+
     def __call__(self, audio: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
         if audio.ndim == 2:  # accept [B, T]
             audio = audio[..., None]
         original_length = audio.shape[1]
-        residual = self.decode(self.encode(audio, msg))
+        latent = self.encode(audio, msg)
+        if self.config.latent_carrier_gain > 0 and msg is not None:
+            latent = self._latent_carrier(latent, msg)
+        residual = self.decode(latent)
         return residual[:, :original_length, :]

@@ -38,6 +38,7 @@ from waveverify_tpu.losses import (
     l1_loss,
     localization_loss,
     decoding_loss,
+    decoding_loss_bits,
     mel_spectrogram_loss,
     multi_scale_stft_loss,
 )
@@ -210,6 +211,16 @@ def make_train_step(
                 )
                 total = total + (loss_cfg.lambda_dec_clean
                                  * logs["dec/loss_clean"])
+            if loss_cfg.lambda_dec_bits > 0:
+                bits = decoding_loss_bits(
+                    fwd_outs["detector_logits"], fwd_outs["mask"], msg
+                )
+                if loss_cfg.lambda_dec_clean > 0:
+                    bits = bits + decoding_loss_bits(
+                        fwd_outs["detector_logits_clean"], None, msg
+                    )
+                logs["dec/loss_bits"] = bits
+                total = total + loss_cfg.lambda_dec_bits * bits
             logs["loss"] = total
             return total, logs
 
