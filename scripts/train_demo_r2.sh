@@ -23,6 +23,14 @@
 #   random Dense(1) projection conditioning; at step 32k only the ~5
 #   best-conditioned bits had formed. The Hadamard gain-space signature
 #   gives all 16 bits equal-power all-band channels by construction.
+# - latent_carrier_gain + lambdas.dec/loss_bits: third iteration
+#   (docs/TRAINING.md): the FiLM gain slots' audio Jacobian is rank-~2, so
+#   even the Hadamard signatures cancel for half the bits; the latent
+#   carrier rides the decoder's well-conditioned input Jacobian instead,
+#   and the bit-level BCE pushes the deployed time-mean decision directly.
+# - warmup.alt_period/alt_gen_frac: while the ramp is closed, freeze the
+#   generator for 75% of each 2k-step period so the detector gets long
+#   static-code windows to lock all 16 bits.
 # - valid_freq 1000 doubles as the checkpoint cadence -> resume-safe with
 #   --resume after any interruption.
 set -euo pipefail
@@ -48,7 +56,10 @@ exec python -m waveverify_tpu.train \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \
   --set Generator.msg_mode=carrier \
-  --set Generator.film_carrier_gain="${FILM_CARRIER_GAIN:-0.3}" \
+  --set Generator.film_carrier_gain="${FILM_CARRIER_GAIN:-0.5}" \
+  --set Generator.latent_carrier_gain="${LATENT_CARRIER_GAIN:-0.2}" \
+  --set warmup.alt_period=2000 --set warmup.alt_gen_frac=0.25 \
   --set AdamW.detector_lr_mult=10 \
   --set lambdas.dec/loss_clean=10000 \
+  --set lambdas.dec/loss_bits=20000 \
   $RESUME $EXTRA

@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--pallas", default=None, choices=["auto", "on", "off"],
                     help="pallas kernel mode (default: auto, or the "
                     "WAVEVERIFY_PALLAS env var)")
+    ap.add_argument("--platform", default=None,
+                    help="force the JAX backend (e.g. 'cpu' for smoke runs). "
+                    "Needed because remote-TPU sitecustomize hooks may pin "
+                    "jax_platforms via jax.config, which overrides the "
+                    "JAX_PLATFORMS env var; also honors WAVEVERIFY_PLATFORM")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable forward rematerialization (smaller HLO / "
                     "faster compile, higher HBM; use with smaller batches)")
@@ -87,6 +92,16 @@ def main() -> None:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+
+    import os
+
+    platform = args.platform or os.environ.get("WAVEVERIFY_PLATFORM")
+    if platform:
+        import jax
+
+        # Must land before the first backend query; overrides any
+        # jax_platforms value a sitecustomize hook set at import time.
+        jax.config.update("jax_platforms", platform)
 
     from waveverify_tpu.config import load_config
     from waveverify_tpu.parallel import initialize_distributed
