@@ -351,7 +351,9 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     state = create_train_state(cfg, key, models)
     fresh_wm_params = state.wm_params if trainer.reinit_msg_path else None
     start_step = 0
+    resumed_from_ckpt = False
     if resume and "latest" in ckpt.checkpoint_tags(trainer.ckpt_dir):
+        resumed_from_ckpt = True
         try:
             state, meta = ckpt.load_checkpoint(trainer.ckpt_dir, "latest",
                                                state)
@@ -392,13 +394,15 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             state.wm_params, loaded,
         ))
         logger.info("warm-started wm_params from %s", trainer.init_weights)
-    # Once-only guard: supervisors relaunch the trainer with identical flags
-    # after a crash; re-grafting on every resume would wipe msg-path
-    # learning each time.
-    reinit_sentinel = Path(trainer.ckpt_dir) / ".msg_reinit_done"
-    if fresh_wm_params is not None and reinit_sentinel.exists():
-        logger.info("msg-path reinit already done (%s) — skipping",
-                    reinit_sentinel)
+    # Supervisors relaunch the trainer with identical flags after a crash;
+    # re-grafting on every relaunch would wipe msg-path learning. But that
+    # learning only survives a relaunch through a checkpoint — so skip the
+    # graft exactly when this process resumed from one. (A crash before the
+    # first checkpoint re-loads the npz warm start, whose msg path is the
+    # stale one the graft exists to replace — a once-only sentinel file
+    # would wrongly skip it there.)
+    if fresh_wm_params is not None and resumed_from_ckpt:
+        logger.info("resumed from a checkpoint — skipping msg-path reinit")
         fresh_wm_params = None
     if fresh_wm_params is not None:
         def _graft_msg(fresh, loaded, in_msg=False):
@@ -412,9 +416,6 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
 
         state = state.replace(
             wm_params=_graft_msg(fresh_wm_params, state.wm_params))
-        if is_proc0:
-            reinit_sentinel.parent.mkdir(parents=True, exist_ok=True)
-            reinit_sentinel.touch()
         logger.info("re-initialized message path (msg_*, film_*)")
     # Commit the state to the mesh BEFORE the first step: host-built arrays
     # have no mesh in their aval sharding, so the state returned by step 1
