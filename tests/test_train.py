@@ -495,6 +495,70 @@ def test_init_weights_warm_start(tmp_path):
     assert all(np.allclose(np.asarray(g), w) for g, w in zip(got, want))
 
 
+@pytest.mark.slow
+def test_reinit_msg_path_gating(tmp_path):
+    """--reinit-msg-path grafts a fresh message path over an npz warm start
+    on EVERY relaunch without a checkpoint (a crash before the first save
+    re-loads the stale npz msg path), and is skipped exactly when the run
+    resumes from a checkpoint (where msg-path learning actually lives)."""
+    import dataclasses
+
+    from waveverify_tpu.convert import save_weights_npz
+    from waveverify_tpu.train import checkpoint as ckpt
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    cfg = dataclasses.replace(tiny_config(2), num_iters=0, train_duration=0.2,
+                              val_duration=0.2, val_batch_size=2)
+    models = WatermarkModels.from_config(cfg)
+    donor = create_train_state(cfg, jax.random.PRNGKey(42), models,
+                               example_length=T)
+    npz = tmp_path / "w.npz"
+    save_weights_npz(jax.tree_util.tree_map(np.asarray, donor.wm_params), npz,
+                     dtype=np.float32)
+
+    def leaves_by_path(params):
+        flat = {}
+
+        def rec(node, path, in_msg=False):
+            if hasattr(node, "items"):
+                for k, v in node.items():
+                    rec(v, path + (k,),
+                        in_msg or k.startswith(("msg_", "film_")))
+            else:
+                flat[path] = (np.asarray(node), in_msg)
+        rec(params, ())
+        return flat
+
+    trainer = TrainerConfig(
+        ckpt_dir=str(tmp_path / "ckpt"), log_file=None, dump_samples=False,
+        num_devices=1, init_weights=str(npz), reinit_msg_path=True,
+    )
+    # launch 1: no checkpoint — graft must apply (msg path differs from npz)
+    state = train(cfg, trainer, max_steps=0, resume=True)
+    donor_flat = leaves_by_path(donor.wm_params["generator"])
+    got_flat = leaves_by_path(state.wm_params["generator"])
+    msg_diff = [not np.allclose(got_flat[p][0], donor_flat[p][0])
+                for p in got_flat if got_flat[p][1]]
+    other_same = [np.allclose(got_flat[p][0], donor_flat[p][0])
+                  for p in got_flat if not got_flat[p][1]]
+    assert msg_diff and any(msg_diff), "msg path was not re-initialized"
+    assert other_same and all(other_same), "non-msg params were touched"
+
+    # launch 2: still no checkpoint (crash-before-save) — graft re-applies
+    state2 = train(cfg, trainer, max_steps=0, resume=True)
+    got2 = leaves_by_path(state2.wm_params["generator"])
+    assert any(not np.allclose(got2[p][0], donor_flat[p][0])
+               for p in got2 if got2[p][1])
+
+    # launch 3: checkpoint exists — graft must be SKIPPED (resume wins)
+    ckpt.save_checkpoint(str(tmp_path / "ckpt"), "latest", donor,
+                         host_state={"step": 5})
+    state3 = train(cfg, trainer, max_steps=0, resume=True)
+    got3 = leaves_by_path(state3.wm_params["generator"])
+    assert all(np.allclose(got3[p][0], donor_flat[p][0]) for p in got3), \
+        "resume-from-checkpoint must not re-wipe the message path"
+
+
 def test_ber_gated_ramp_controller():
     """Host-side BerGatedRamp: holds while BER EMA is above the gate,
     advances while at/below it, never regresses, round-trips its state."""
