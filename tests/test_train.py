@@ -584,6 +584,78 @@ def test_ber_gated_ramp_controller():
     assert other.progress == ramp.progress and other.ema == ramp.ema
 
 
+def test_ber_gated_ramp_fx_latch():
+    """Attack-curriculum latch (LossConfig.warmup_fx_gate): effects stay
+    identity-only and the perceptual scale stays EXACTLY zero until the BER
+    EMA first reaches fx_gate; then attacks latch on permanently, the EMA
+    resets to the chance prior (so the stale clean-path value cannot ride
+    through the lower perceptual gate), and the ramp behaves as before."""
+    from waveverify_tpu.train.loop import BerGatedRamp
+
+    ramp = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05, beta=0.0,
+                        fx_gate=0.2)
+    assert not ramp.attacks_on()
+    assert ramp.scale() == 0.0  # stage A: zero perceptual pressure
+    ramp.update(0.5)
+    assert not ramp.attacks_on()
+    ramp.update(0.0)  # clean BER crosses fx_gate -> latch
+    assert ramp.attacks_on()
+    assert ramp.ema == pytest.approx(0.5)  # EMA reset to chance prior
+    assert ramp.progress == 0.0  # squeeze must not have advanced
+    assert ramp.scale() == pytest.approx(0.01)
+    ramp.update(0.5)  # attacks broke decoding: latch stays, no progress
+    assert ramp.attacks_on() and ramp.progress == 0.0
+    ramp.update(0.0)  # attacked BER below the perceptual gate: squeeze
+    assert ramp.progress == pytest.approx(0.1)
+
+    # state round-trip preserves the latch
+    other = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05, fx_gate=0.2)
+    assert not other.attacks_on()
+    other.load_state_dict(ramp.state_dict())
+    assert other.attacks_on() and other.progress == ramp.progress
+
+    # fx_gate=0 (off) pre-latches: reference-style runs are unaffected
+    off = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05)
+    assert off.attacks_on() and off.scale() == pytest.approx(0.01)
+
+
+@pytest.mark.slow
+def test_train_loop_fx_gate(tmp_path):
+    """Loop-level attack curriculum: while the latch is open every scheduled
+    effect index is the identity branch and ramp/fx_on logs 0; with a
+    trivially-high fx_gate the latch opens on the first ramp feedback and
+    fx_on flips to 1."""
+    import dataclasses
+    import json as _json
+
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    cfg = dataclasses.replace(
+        tiny_config(B), num_iters=4, valid_freq=10**9, sample_freq=10**9,
+        train_duration=0.2,
+        loss=dataclasses.replace(
+            tiny_config(B).loss, warmup_steps=10, warmup_init_scale=0.01,
+            warmup_ber_gate=0.05, warmup_fx_gate=0.9,
+        ),
+    )
+    trainer = TrainerConfig(
+        ckpt_dir=str(tmp_path / "ckpt"),
+        log_file=str(tmp_path / "log.jsonl"),
+        dump_samples=False, log_every=1, num_devices=1,
+    )
+    train(cfg, trainer)
+    recs = [_json.loads(l) for l in
+            (tmp_path / "log.jsonl").read_text().strip().splitlines()]
+    fx_on = [r["ramp/fx_on"] for r in recs if "ramp/fx_on" in r]
+    scales = [r["ramp/percep_scale"] for r in recs if "ramp/percep_scale" in r]
+    assert fx_on[0] == 0.0, "latch must start closed"
+    assert scales[0] == 0.0, "stage A perceptual scale must be exactly 0"
+    # feedback is one dispatch delayed; with fx_gate=0.9 the first update
+    # latches regardless of BER, so later steps must show attacks on
+    assert fx_on[-1] == 1.0, f"latch never opened: {fx_on}"
+    assert scales[-1] == pytest.approx(0.01)
+
+
 @pytest.mark.slow
 def test_train_step_host_percep_scale(setup):
     """The host-fed percep_scale argument rescales exactly the perceptual

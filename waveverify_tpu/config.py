@@ -265,6 +265,17 @@ class LossConfig:
     # starts squeezing, joint updates resume every step.
     warmup_alt_period: int = 0
     warmup_alt_gen_frac: float = 0.25
+    # Attack-curriculum gate (0 = off -> attacks from step 0, reference
+    # parity). When > 0 the effect scheduler selects only `identity` until
+    # the train-BER EMA first reaches the gate, then latches attacks ON for
+    # the rest of the run (host-side latch in BerGatedRamp; the gate value
+    # should sit ABOVE warmup_ber_gate so the stage order is: clean code
+    # forms -> attacks on -> perceptual squeeze). Isolation experiments
+    # (scripts/exp_decode.py, docs/TRAINING.md) show generator<->detector
+    # co-learning forms the clean code in O(1k) steps when the attacked-path
+    # gradient noise is kept out of the early phase. Requires
+    # warmup_ber_gate.
+    warmup_fx_gate: float = 0.0
     # Auxiliary decoding loss on the CLEAN watermarked audio (no
     # localization augmentation, no attacks; target = message everywhere).
     # 0.0 = reference parity (decoding loss only on the attacked path,
@@ -456,6 +467,8 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_ber_gate"] = float(warm["ber_gate"])
     if "disc_every" in warm:
         loss_kwargs["warmup_disc_every"] = int(warm["disc_every"])
+    if "fx_gate" in warm:
+        loss_kwargs["warmup_fx_gate"] = float(warm["fx_gate"])
     if "alt_period" in warm:
         loss_kwargs["warmup_alt_period"] = int(warm["alt_period"])
     if "alt_gen_frac" in warm:

@@ -207,29 +207,62 @@ class BerGatedRamp:
     """
 
     def __init__(self, steps: int, init_scale: float, gate: float,
-                 beta: float = 0.98):
+                 beta: float = 0.98, fx_gate: float = 0.0):
         self.steps = max(int(steps), 1)
         self.init_scale = float(init_scale)
         self.gate = float(gate)
         self.beta = float(beta)
         self.progress = 0.0
         self.ema = 0.5  # chance-level prior
+        # attack-curriculum latch (LossConfig.warmup_fx_gate): effects stay
+        # identity-only until the train-BER EMA first reaches fx_gate, then
+        # attacks latch ON for the rest of the run. fx_gate should sit
+        # ABOVE `gate`: clean code forms -> attacks on (EMA jumps back up)
+        # -> attacked BER re-descends below `gate` -> perceptual squeeze.
+        # 0 = off (attacks from step 0).
+        self.fx_gate = float(fx_gate)
+        self.fx_latched = fx_gate <= 0.0
 
     def scale(self) -> float:
+        # Stage A (fx latch open): perceptual weight EXACTLY zero. At
+        # chance-level BER the decode gradient on the residual's loudness is
+        # pure noise while even an init_scale-scaled perceptual gradient is
+        # systematic — measured on the round-2 run, the residual L1 shrank
+        # 0.23 -> 0.028 over 6k steps at scale 0.01 and the code never
+        # formed. With fx_gate disabled (reference-style runs) the latch is
+        # pre-set and this floor never applies.
+        if not self.fx_latched:
+            return 0.0
         return float(self.init_scale ** (1.0 - self.progress))
+
+    def attacks_on(self) -> bool:
+        return self.fx_latched
 
     def update(self, ber: float, k: int = 1) -> None:
         """Feed one dispatch's mean attacked-path BER covering ``k`` steps."""
         self.ema = self.beta * self.ema + (1.0 - self.beta) * float(ber)
-        if self.ema <= self.gate:
+        if not self.fx_latched and self.ema <= self.fx_gate:
+            self.fx_latched = True
+            logger.info("attack curriculum: BER EMA %.4f <= fx_gate %.3f — "
+                        "effects latched ON", self.ema, self.fx_gate)
+            # the EMA measured the unattacked code until now; reset to the
+            # chance prior so the perceptual squeeze can't ride the stale
+            # clean-path value through its own (lower) gate
+            self.ema = 0.5
+        # the perceptual squeeze must never advance on clean-only BER: while
+        # the fx latch is open the EMA measures an unattacked code
+        if self.fx_latched and self.ema <= self.gate:
             self.progress = min(1.0, self.progress + k / self.steps)
 
     def state_dict(self) -> Dict[str, float]:
-        return {"progress": self.progress, "ema": self.ema}
+        return {"progress": self.progress, "ema": self.ema,
+                "fx_latched": float(self.fx_latched)}
 
     def load_state_dict(self, d: Dict[str, float]) -> None:
         self.progress = float(d.get("progress", 0.0))
         self.ema = float(d.get("ema", 0.5))
+        self.fx_latched = bool(d.get("fx_latched",
+                                     1.0 if self.fx_gate <= 0 else 0.0))
 
 
 @dataclass
@@ -345,7 +378,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     if cfg.loss.warmup_ber_gate > 0:
         ramp = BerGatedRamp(cfg.loss.warmup_steps,
                             cfg.loss.warmup_init_scale,
-                            cfg.loss.warmup_ber_gate)
+                            cfg.loss.warmup_ber_gate,
+                            fx_gate=cfg.loss.warmup_fx_gate)
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, key, models)
@@ -525,12 +559,24 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                       or step % period
                       < max(1, int(period * cfg.loss.warmup_alt_gen_frac)))
             ramp_args = ramp_args + (np.float32(1.0 if gen_on else 0.0),)
+        # attack curriculum (LossConfig.warmup_fx_gate): identity-only
+        # branch indices until the host latch opens. Host-side only — the
+        # compiled program is unchanged; every process computes the same
+        # latch from the replicated BER EMA.
+        fx_on = ramp is None or ramp.attacks_on()
+
+        def _select(n):
+            if fx_on:
+                return scheduler.select_bank_indices(
+                    n, bank.specs,
+                    match_reference_cap=trainer.match_reference_effect_cap,
+                )
+            return (np.full(n, _identity_branch(bank), np.int32),
+                    [bank.specs[_identity_branch(bank)]] * n)
+
         if K == 1:
             audio, msg = next(batches)
-            idx, selections = scheduler.select_bank_indices(
-                local_bs, bank.specs,
-                match_reference_cap=trainer.match_reference_effect_cap,
-            )
+            idx, selections = _select(local_bs)
             audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
             if step == start_step and jax.process_count() > 1:
                 # First dispatch creates the full-mesh Gloo context inside
@@ -550,10 +596,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             selections = []
             for _ in range(K):
                 a, m = next(batches)
-                i, sel = scheduler.select_bank_indices(
-                    local_bs, bank.specs,
-                    match_reference_cap=trainer.match_reference_effect_cap,
-                )
+                i, sel = _select(local_bs)
                 audios.append(a)
                 msgs.append(m)
                 idxs.append(i)
@@ -604,6 +647,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             if ramp is not None:
                 host["ramp/percep_scale"] = ramp.scale()
                 host["ramp/ber_ema"] = ramp.ema
+                if ramp.fx_gate > 0:
+                    host["ramp/fx_on"] = float(fx_on)
             if alt:
                 host["ramp/gen_on"] = float(gen_on)
             tracker.update(last_step, host)
@@ -699,6 +744,15 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         _feed_scheduler(scheduler, pending[0], pending[1])
     tracker.close()
     return state
+
+
+def _identity_branch(bank: EffectBank) -> int:
+    """Index of the identity branch in the effect bank (0 in every shipped
+    config; scanned defensively in case a YAML reorders the catalog)."""
+    for i, (name, _) in enumerate(bank.specs):
+        if name == "identity":
+            return i
+    return 0
 
 
 def _local_state(state: TrainState) -> TrainState:
