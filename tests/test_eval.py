@@ -37,7 +37,13 @@ def test_run_sweep_structure(wv):
                [("random_noise", {"noise_std": 0.001})]]
     results = run_sweep(wv, audio, seed=1, effects=effects,
                         include_codecs=False)
-    assert set(results) == {"identity", "random_noise(0.001)"}
+    assert set(results) == {"_quality", "identity", "random_noise(0.001)"}
+    q = results.pop("_quality")
+    # reference README quality table rows (README.md:184-186): SI-SNR is a
+    # real dB number, STOI in [0,1]; PESQ is NaN when the lib is absent.
+    assert np.isfinite(q["sisnr_db"])
+    assert 0.0 <= q["stoi"] <= 1.0
+    assert q["pesq"] is None or 1.0 <= q["pesq"] <= 4.64
     for tag, r in results.items():
         assert set(r) == {"ber", "tpr", "fpr", "miou", "confidence",
                           "ber_full", "tpr_full", "bit_acc_full"}

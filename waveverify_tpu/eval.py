@@ -142,6 +142,29 @@ def run_sweep(
                           jnp.asarray(mask))
 
     results: Dict[str, Dict[str, float]] = {}
+    # Imperceptibility of the raw watermarked audio vs the clean input —
+    # the reference README's quality table (reference README.md:184-186:
+    # PESQ 4.34 / STOI 1.00 / SI-SNR 24.23 dB). SI-SNR on device; STOI via
+    # pystoi or the bundled native implementation; PESQ NaN when the lib is
+    # absent (honest-unavailable, like the codec rows).
+    from waveverify_tpu.metrics import pesq as pesq_fn
+    from waveverify_tpu.metrics import sisnr as sisnr_fn
+    from waveverify_tpu.metrics import stoi as stoi_fn
+
+    wm_np = np.asarray(wm)
+    pesq_mean = float(np.mean([pesq_fn(wm_np[i], audio[i], wv.sample_rate)
+                               for i in range(b)]))
+    results["_quality"] = {
+        "sisnr_db": float(sisnr_fn(wm, jnp.asarray(audio))),
+        "stoi": float(np.mean([stoi_fn(wm_np[i], audio[i], wv.sample_rate)
+                               for i in range(b)])),
+        # None (JSON null) when the pesq lib is absent — keeps the JSON
+        # artifact strict-parseable, same honesty rule as the codec rows
+        "pesq": None if np.isnan(pesq_mean) else pesq_mean,
+    }
+    logger.info("%-40s sisnr=%.2f dB stoi=%.4f pesq=%s", "quality(wm vs clean)",
+                results["_quality"]["sisnr_db"], results["_quality"]["stoi"],
+                results["_quality"]["pesq"])
     key = jax.random.PRNGKey(seed)
     for chain in effects:
         tag = _effect_tag(chain)
@@ -267,8 +290,17 @@ def main() -> None:
 
     results = run_sweep(wv, audio, seed=args.seed)
 
+    q = results.get("_quality", {})
+    if q:
+        pesq_s = "n/a (pesq lib absent)" if q["pesq"] is None \
+            else f"{q['pesq']:.3f}"
+        print(f"\nquality (watermarked vs clean): "
+              f"SI-SNR {q['sisnr_db']:.2f} dB  STOI {q['stoi']:.4f}  "
+              f"PESQ {pesq_s}")
     print(f"\n{'effect':<42} {'BER':>7} {'TPR':>6} {'FPR':>6} {'MIoU':>7}")
     for tag, r in results.items():
+        if tag == "_quality":
+            continue
         if "ber" not in r:  # codec row without a usable encoder
             print(f"{tag:<42} {r.get('status', 'unavailable')}")
             continue
