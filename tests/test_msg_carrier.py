@@ -150,6 +150,7 @@ def test_film_carrier_params_unchanged():
         jax.tree_util.tree_structure(p_on)
 
 
+@pytest.mark.slow
 def test_latent_carrier_equal_audio_deltas():
     """Latent-space carrier: every bit gets a comparable AUDIO-domain
     channel through the decoder (the FiLM gain-slot Jacobian is rank-

@@ -142,6 +142,7 @@ def test_train_step_runs_and_learns(setup):
     assert np.asarray(metrics1["per_sample_miou"]).shape == (B,)
 
 
+@pytest.mark.slow
 def test_train_step_disc_gate(setup):
     """train_disc flag: 1 reproduces the ungated step exactly; 0 leaves the
     discriminator (params + opt state) untouched, zeroes the adversarial
@@ -199,7 +200,12 @@ def test_forward_valid_sweep(setup):
                         eval_effects=[("identity", {})])
     assert "identity" in out["effects"]
     res = out["effects"]["identity"]
-    assert np.asarray(res["mask"]).min() == 1.0  # full presence
+    # reference _forward_valid augments before the sweep (localization +
+    # sequence, model/watermarking.py:463-467): ground truth is a real
+    # spliced mask, binary, mostly-watermarked (~20% reverted segments)
+    m = np.asarray(res["mask"])
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert m.mean() > 0.2
 
 
 def test_clip_by_global_norm():
@@ -467,6 +473,7 @@ def test_cli_flag_plumbing(monkeypatch):
     assert seen["max_steps"] == 0 and seen["resume"] is True
 
 
+@pytest.mark.slow
 def test_init_weights_warm_start(tmp_path):
     """train(init_weights=...) loads compact npz params into the fresh state
     (the cross-round continuation path: orbax dirs are gitignored, so a new
@@ -724,6 +731,7 @@ def test_generator_lr_mult_yaml_key(tmp_path):
     assert cfg.optim.detector_lr_mult == 4.0
 
 
+@pytest.mark.slow
 def test_gen_update_scale_freezes_generator(setup):
     """gen_update_scale=0 must freeze the generator subtree (detector and
     locator keep stepping); 1.0 must reproduce the normal joint update.

@@ -191,12 +191,19 @@ def forward_valid(
     msg: jnp.ndarray,
     eval_effects: Optional[List[Tuple[str, Dict]]] = None,
     sample_rate: int = 16000,
+    window_duration: float = 0.1,
 ) -> Dict[str, Any]:
-    """Validation phase: fixed effect sweep on the fully-watermarked signal
-    (reference model/watermarking.py:443-483, :755-808).
+    """Validation phase: fixed effect sweep on the augmented watermarked
+    signal (reference model/watermarking.py:443-483, :755-808).
 
-    For each eval effect: apply to the watermarked audio (mask = all ones),
-    detect + locate, compute BER and MIoU. Returns
+    Like the reference's ``_forward_valid``, the watermarked audio first
+    goes through the localization + sequence augmentations (reference
+    :463-467), so the MIoU ground truth is a real spliced mask (~20% clean
+    segments) — NOT all-ones. With an all-ones ground truth the background
+    IoU term is degenerate (any stray zero in the prediction pins bg IoU to
+    0 and the mean to ~0.5), which made healthy locators read as collapsed
+    in the round-1/2 logs. Each eval effect is then applied to the
+    augmented signal; detect + locate; BER is mask-aware. Returns
     ``{"watermarked", "residual", "effects": {name: {...}}}``.
     """
     if eval_effects is None:
@@ -204,15 +211,22 @@ def forward_valid(
 
     residual = models.apply_generator(wm_params["generator"], audio, msg)
     watermarked = residual + audio
-    full_mask = jnp.ones_like(audio)
+
+    k_loc, k_seq, key = jax.random.split(key, 3)
+    augmented, gt_mask, updated_original = localization_augmentation(
+        k_loc, audio, watermarked, sample_rate, window_duration
+    )
+    augmented, updated_original, gt_mask = sequence_augmentation(
+        k_seq, augmented, updated_original, gt_mask, sample_rate
+    )
 
     results: Dict[str, Any] = {}
     for i, (name, params) in enumerate(eval_effects):
         key, sub = jax.random.split(key)
         fn = getattr(AudioEffects, name)
-        fx, mask = fn(watermarked, full_mask, sub,
+        fx, mask = fn(augmented, gt_mask, sub,
                       sample_rate=sample_rate, **params)
-        mask = full_mask if mask is None else mask
+        mask = gt_mask if mask is None else mask
         det = models.apply_detector(wm_params["detector"], fx)
         loc = models.apply_locator(wm_params["locator"], fx)
         tag = name if name not in results else f"{name}_{i}"
