@@ -263,6 +263,10 @@ def test_synthetic_dataset_and_messages():
     batch = ds.batch(3)
     assert batch.shape == (3, 8000) and batch.dtype == np.float32
     assert np.abs(batch).max() <= 1.0
+    # the vectorized producer must still draw params PER SAMPLE: rows must
+    # differ (f0/phase/envelope) and each row carries real signal energy
+    assert np.abs(batch[0] - batch[1]).max() > 1e-3
+    assert (np.abs(batch).max(axis=1) > 0.1).all()
     msg = generate_random_message(np.random.RandomState(0), 5, 16)
     assert msg.shape == (5, 16)
     assert set(np.unique(msg)) <= {0.0, 1.0}
