@@ -76,7 +76,10 @@ def main() -> None:
     from waveverify_tpu.train.step import make_train_step
     from waveverify_tpu.train.watermarking import WatermarkModels
 
-    # the pinned single-chip recipe (scripts/train_demo_r2.sh)
+    # the pinned single-chip recipe (scripts/train_demo_r3.sh) — keep in
+    # lockstep with that script: matching it exactly makes this harness hit
+    # the trainer's persistent compile cache (~/.cache/waveverify_tpu_xla)
+    # instead of paying a tens-of-minutes cold compile on the tunnel.
     set_pallas_mode("off")
     overrides = {
         "batch_size": args.batch_size,
@@ -85,9 +88,16 @@ def main() -> None:
         "warmup.steps": 6000,
         "warmup.init_scale": 0.01,
         "warmup.ber_gate": 0.05,
+        "warmup.fx_gate": 0.05,
+        "warmup.disc_every": 4,
         "Generator.film_gamma_bias": 1.0,
+        "Generator.msg_mode": "carrier",
+        "Generator.film_carrier_gain": 0.5,
+        "Generator.latent_carrier_gain": 0.2,
         "AdamW.detector_lr_mult": 10,
+        "AdamW.generator_lr_mult": 2,
         "lambdas.dec/loss_clean": 10000,
+        "lambdas.dec/loss_bits": 20000,
     }
     if args.tiny:  # harness smoke: same code path, test-size networks
         for prefix in ("Generator", "Detector", "Locator"):
@@ -119,8 +129,11 @@ def main() -> None:
         state, meta = ckpt.load_checkpoint(args.resume, "latest", state)
         print(f"resumed step {meta.get('step')}")
     state = jax.device_put(state, replicated_sharding(mesh))
+    # with_train_disc mirrors loop.py's disc_gate (warmup.disc_every > 1 in
+    # the pinned recipe) — the extra replicated bool changes the program, so
+    # it must match the trainer for the cache hit
     step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
-                               with_percep_scale=True)
+                               with_percep_scale=True, with_train_disc=True)
 
     ds = SyntheticAudioDataset(cfg.train_duration, cfg.generator.sample_rate, 3)
     batches = prefetch_batches(ds, cfg.batch_size,
@@ -142,7 +155,8 @@ def main() -> None:
         audio_d, msg_d, idx_d = shard_batch(mesh, audio, msg, idx)
         jax.block_until_ready((audio_d, msg_d, idx_d))
         t3 = time.perf_counter()
-        state, metrics = step_fn(state, audio_d, msg_d, idx_d, key, ramp_scale)
+        state, metrics = step_fn(state, audio_d, msg_d, idx_d, key,
+                                 ramp_scale, np.bool_(i % 4 == 0))
         t4 = time.perf_counter()
         jax.block_until_ready(metrics["train/ber"])
         t5 = time.perf_counter()

@@ -22,6 +22,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Compile cache inside the repo: /root and /tmp are wiped on VM reboots
+# (measured 2026-08-19: the resumed trainer paid a ~50 min cold recompile);
+# only the repo mount persists. Gitignored (.jax_cache/).
+export WAVEVERIFY_COMPILE_CACHE=${WAVEVERIFY_COMPILE_CACHE:-$PWD/.jax_cache/train}
+
 CKPT=${CKPT:-checkpoints/demo_r3}
 STEPS=${STEPS:-100000}
 RESUME=${RESUME:-}

@@ -10,6 +10,8 @@
 # /tmp for inspection before the final commit.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+# reboot-proof compile cache (see train_demo_r3.sh)
+export WAVEVERIFY_COMPILE_CACHE=${WAVEVERIFY_COMPILE_CACHE:-$PWD/.jax_cache/train}
 
 echo "== stop trainer =="
 # Stop the relaunch supervisor FIRST or it restarts the trainer mid-bench,
@@ -41,6 +43,14 @@ timeout 900 python benchmarks/effect_dispatch_bench.py --iters 20 \
 echo "== dryrun cache warm =="
 timeout 500 python __graft_entry__.py 8 >/tmp/dryrun_final.log 2>&1 \
   && echo "dryrun OK" || echo "DRYRUN FAILED rc=$?"
+
+echo "== step-time breakdown (TPU, warm cache) =="
+# mirrors the r3 recipe exactly -> hits the trainer's compile cache; the
+# breakdown attributes the ~0.94 s/step between host and device
+# (docs/ROADMAP.md profiling item). Non-fatal bonus artifact.
+timeout 900 python scripts/profile_step.py --steps 20 \
+  --resume "${CKPT:-checkpoints/demo_r3}" \
+  | tee /tmp/profile_step_tpu.log || echo "PROFILE FAILED rc=$?"
 
 echo "== bench smoke =="
 timeout 900 python bench.py || echo "BENCH FAILED rc=$?"
