@@ -6,10 +6,19 @@ With no input, a synthetic tone is generated so the example is self-contained.
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
+
+# honor WAVEVERIFY_PLATFORM (e.g. =cpu) before the first jax backend use —
+# same opt-in as the train CLI; on images whose sitecustomize pins
+# JAX_PLATFORMS to a device tunnel, plain env vars can't force CPU
+if os.environ.get("WAVEVERIFY_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["WAVEVERIFY_PLATFORM"])
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

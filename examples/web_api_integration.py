@@ -19,11 +19,19 @@ Run: python examples/web_api_integration.py [--checkpoint PATH] [--port 8080]
 import argparse
 import io
 import json
+import os
 import sys
 import tempfile
 from pathlib import Path
 
 import numpy as np
+
+# honor WAVEVERIFY_PLATFORM (e.g. =cpu) before the first jax backend use —
+# same opt-in as the train CLI (see examples/basic_usage.py)
+if os.environ.get("WAVEVERIFY_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["WAVEVERIFY_PLATFORM"])
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

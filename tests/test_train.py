@@ -443,6 +443,63 @@ def test_multi_step_dispatch_matches_single(tmp_path):
             )
 
 
+@pytest.mark.slow
+def test_multi_step_dispatch_disc_cadence(tmp_path):
+    """K>1 dispatches scan a [K] per-step disc-cadence vector: with the
+    BER-gated ramp active and warmup_disc_every=2, K=2 must reproduce K=1's
+    alternating disc updates exactly (a constant-per-dispatch gate would
+    train the discriminator on both steps of every gated dispatch)."""
+    import dataclasses
+    import json
+
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    fx = tmp_path / "fx.yml"
+    fx.write_text(
+        "effect_param_grid:\n"
+        "  identity: {}\n"
+        "train_effects:\n"
+        "  - {name: identity, params: {}}\n"
+        "eval_effects:\n"
+        "  - {name: identity, params: {}}\n"
+    )
+    base = tiny_config(B)
+    cfg = dataclasses.replace(
+        base, num_iters=4, valid_freq=10**9, sample_freq=10**9,
+        train_duration=0.2, val_duration=0.2, val_batch_size=2, remat=False,
+        loss=dataclasses.replace(base.loss, warmup_steps=10,
+                                 warmup_init_scale=0.01,
+                                 warmup_ber_gate=0.05,
+                                 warmup_disc_every=2),
+    )
+
+    logs = {}
+    for k_disp in (1, 2):
+        log = tmp_path / f"log_k{k_disp}.jsonl"
+        train(cfg, TrainerConfig(
+            ckpt_dir=str(tmp_path / f"ckpt_k{k_disp}"),
+            log_file=str(log), effects_config=str(fx), dump_samples=False,
+            log_every=1, num_devices=1, steps_per_dispatch=k_disp,
+        ), max_steps=4)
+        # keep train rows only — the end-of-run val/checkpoint row shares
+        # the final step number and would overwrite the train row
+        logs[k_disp] = {e["step"]: e for e in
+                        map(json.loads, log.read_text().splitlines())
+                        if "grad_norm/discriminator" in e}
+
+    # disc trains on steps 0 and 2 only; its grad norm at step 1/3 is 0 in
+    # both runs, and every shared logged scalar matches across K
+    assert 3 in logs[2], sorted(logs[2])
+    assert logs[2][3]["grad_norm/discriminator"] == 0.0
+    for s, row in logs[2].items():
+        if s in logs[1] and "loss" in row:
+            for key in ("loss", "grad_norm/discriminator"):
+                np.testing.assert_allclose(
+                    row[key], logs[1][s][key], rtol=2e-4, atol=1e-7,
+                    err_msg=f"step {s} {key}",
+                )
+
+
 def test_cli_flag_plumbing(monkeypatch):
     """CLI flags reach TrainerConfig/TrainConfig without starting a run."""
     import sys

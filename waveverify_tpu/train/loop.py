@@ -543,10 +543,19 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             # discriminator cadence: every step once the ramp is squeezing
             # (adversarial feedback now matters), every warmup.disc_every-th
             # step while it is closed (weight stuck at init_scale — the
-            # ensemble + GP is the dominant share of device time there)
-            ramp_args = ramp_args + (np.bool_(
-                ramp.progress > 0.0
-                or (step % cfg.loss.warmup_disc_every == 0)),)
+            # ensemble + GP is the dominant share of device time there).
+            # K>1 dispatches get a [K] per-step vector scanned inside the
+            # program (make_multi_train_step) — a constant would train the
+            # disc on all K steps of every gated dispatch.
+            if K == 1:
+                ramp_args = ramp_args + (np.bool_(
+                    ramp.progress > 0.0
+                    or (step % cfg.loss.warmup_disc_every == 0)),)
+            else:
+                ramp_args = ramp_args + (np.asarray(
+                    [ramp.progress > 0.0
+                     or ((step + j) % cfg.loss.warmup_disc_every == 0)
+                     for j in range(K)], dtype=np.bool_),)
         gen_on = True
         if alt:
             # alternating optimization while the ramp is closed: generator

@@ -301,17 +301,36 @@ def make_multi_train_step(
               percep_scale: Optional[jnp.ndarray] = None,
               train_disc: Optional[jnp.ndarray] = None,
               gen_update_scale: Optional[jnp.ndarray] = None):
+        # percep_scale (BER-gated ramp) and gen_update_scale (alternating
+        # optimization) are held constant within the dispatch; the host
+        # updates them between dispatches. train_disc must NOT be: the
+        # disc-cadence gate flips every warmup.disc_every steps, and holding
+        # it constant over K steps would train the discriminator ensemble
+        # (the dominant device cost while the ramp is closed) on every step
+        # of a gated dispatch. A [K] vector is scanned per-step instead; a
+        # scalar is accepted for backward compatibility (held constant).
+        if train_disc is None:
+            # static ungated path: keep the single step's unconditional
+            # disc update (no lax.cond in the program)
+            def body(st, inp):
+                a, m, i = inp
+                # the inner step folds `key` with st.step, which increments
+                # every iteration — each scanned step gets fresh randomness.
+                return step(st, a, m, i, key, percep_scale, None,
+                            gen_update_scale)
+
+            return jax.lax.scan(body, state, (audios, msgs, idxs),
+                                length=steps_per_dispatch)
+
+        disc_xs = (train_disc if jnp.ndim(train_disc) >= 1
+                   else jnp.broadcast_to(train_disc, (steps_per_dispatch,)))
+
         def body(st, inp):
-            a, m, i = inp
-            # the inner step folds `key` with st.step, which increments
-            # every iteration — each scanned step gets fresh randomness.
-            # percep_scale (BER-gated ramp), train_disc (disc cadence) and
-            # gen_update_scale (alternating optimization) are held constant
-            # within the dispatch; the host updates them between dispatches.
-            return step(st, a, m, i, key, percep_scale, train_disc,
+            a, m, i, disc = inp
+            return step(st, a, m, i, key, percep_scale, disc,
                         gen_update_scale)
 
-        return jax.lax.scan(body, state, (audios, msgs, idxs),
+        return jax.lax.scan(body, state, (audios, msgs, idxs, disc_xs),
                             length=steps_per_dispatch)
 
     return multi
