@@ -131,11 +131,14 @@ def main() -> None:
 
     if n_accel == 0:
         # never touch the (possibly wedged) tunnel backend in this process,
-        # and reuse the repo's persistent compile cache so the CPU fallback
-        # fits a driver timeout (full-config CPU compiles are multi-minute)
+        # and reuse a persistent compile cache so the CPU fallback fits a
+        # driver timeout (full-config CPU compiles are multi-minute). The
+        # cache lives inside the repo: /tmp and /root/.cache are wiped on
+        # VM reboots, only the repo mount persists.
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/waveverify_tpu_jax_cache")
+                          str(Path(REPO_ROOT) / ".jax_cache" / "bench_cpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     # Serving precision: one-pass bf16 MXU passes for f32 convs. Measured on
     # v5e: 2.4x over HIGHEST with max bit-probability delta 2e-5 (threshold
