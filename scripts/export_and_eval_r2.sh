@@ -6,6 +6,8 @@ cd "$(dirname "$0")/.."
 
 CKPT=${CKPT:-checkpoints/demo_r2}
 OUT=${OUT:-weights/waveverify_demo.npz}
+SWEEP=${SWEEP:-weights/demo_eval_sweep.json}
+SWEEP_BF16=${SWEEP_BF16:-weights/demo_eval_sweep_bf16.json}
 
 python - <<EOF
 import jax
@@ -19,7 +21,7 @@ EOF
 python -m waveverify_tpu.eval \
   --checkpoint "$OUT" \
   --batch 16 --duration 5.0 \
-  --json-out weights/demo_eval_sweep.json
+  --json-out "$SWEEP"
 
 # bf16 BER-impact study (docs/ROADMAP.md): same sweep with one-pass bf16
 # convs; diff vs the f32-accumulation sweep above quantifies the serving
@@ -28,5 +30,5 @@ python -m waveverify_tpu.eval \
 python -m waveverify_tpu.eval \
   --checkpoint "$OUT" \
   --batch 16 --duration 5.0 --conv-precision default \
-  --json-out weights/demo_eval_sweep_bf16.json \
+  --json-out "$SWEEP_BF16" \
   || echo "bf16 sweep failed (non-fatal)"

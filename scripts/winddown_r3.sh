@@ -33,7 +33,14 @@ if [ -f /tmp/train_r3.pid ] && kill -0 "$(cat /tmp/train_r3.pid)" 2>/dev/null; t
 fi
 
 echo "== export + sweep =="
-CKPT=${CKPT:-checkpoints/demo_r3} timeout 1800 bash scripts/export_and_eval_r2.sh \
+# r3 ships as a SEPARATE artifact: the r2 demo weights (good perceptual
+# quality, BER 0.42) stay in place; r3 (staged-curriculum run, lower BER,
+# perceptual ramp never latched) lands next to them for honest comparison.
+CKPT=${CKPT:-checkpoints/demo_r3} \
+OUT=${OUT:-weights/waveverify_demo_r3.npz} \
+SWEEP=${SWEEP:-weights/demo_eval_sweep_r3.json} \
+SWEEP_BF16=${SWEEP_BF16:-weights/demo_eval_sweep_r3_bf16.json} \
+  timeout 1800 bash scripts/export_and_eval_r2.sh \
   || echo "EXPORT/SWEEP FAILED rc=$?"
 
 echo "== dispatch bench (TPU) =="
