@@ -248,3 +248,60 @@ def test_batch_serving_over_mesh():
     d_bits, d_conf = wv.detect_batch(sharded)
     np.testing.assert_array_equal(d_bits, d_bits_plain)
     np.testing.assert_allclose(d_conf, d_conf_plain, atol=2e-5)
+
+
+def test_checkpoint_config_snapshot_applied(tmp_path):
+    """A checkpoint's embedded model-config snapshot (msg_mode etc.) must
+    reach the constructed models when the caller doesn't pass an explicit
+    `config=`. Regression: the eval CLI passed `config=load_config(None)`,
+    which suppressed the snapshot and swept carrier-mode checkpoints with
+    the wrong message path (identity BER at chance instead of the true
+    value)."""
+    from waveverify_tpu.config import (
+        DetectorConfig, GeneratorConfig, LocatorConfig, TrainConfig,
+    )
+    from waveverify_tpu.convert import save_weights_npz
+
+    cfg = TrainConfig(
+        generator=GeneratorConfig(channels_dec=12, n_residual_enc=1,
+                                  n_residual_dec=1, msg_mode="carrier",
+                                  film_carrier_gain=0.5, **SMALL),
+        detector=DetectorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        locator=LocatorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+    )
+    src = WaveVerify(config=cfg)
+    path = save_weights_npz(src.params, tmp_path / "carrier.npz", config=cfg)
+
+    # checkpoint_path alone (the eval CLI's fixed construction): snapshot on
+    wv2 = WaveVerify(checkpoint_path=path, config_path=None, precision=None)
+    assert wv2.config.generator.msg_mode == "carrier"
+    assert wv2.config.generator.film_carrier_gain == 0.5
+
+    # explicit config still wins (tests / parity workflows rely on this)
+    plain = TrainConfig(
+        generator=GeneratorConfig(channels_dec=12, n_residual_enc=1,
+                                  n_residual_dec=1, **SMALL),
+        detector=DetectorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        locator=LocatorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+    )
+    wv3 = WaveVerify(checkpoint_path=path, config=plain)
+    assert wv3.config.generator.msg_mode == "reference"
+
+
+def test_ctor_precision_none_leaves_global():
+    """precision=None must not clobber a caller-managed global conv
+    precision (the eval CLI forwards --conv-precision; None = untouched)."""
+    import jax
+
+    from waveverify_tpu.modules import conv as conv_mod
+    from waveverify_tpu.modules.conv import set_conv_precision
+
+    prior = conv_mod._CONV_PRECISION
+    try:
+        set_conv_precision("highest")
+        WaveVerify(precision=None)
+        assert conv_mod._CONV_PRECISION == jax.lax.Precision.HIGHEST
+        WaveVerify(precision="default")
+        assert conv_mod._CONV_PRECISION == jax.lax.Precision.DEFAULT
+    finally:
+        conv_mod._CONV_PRECISION = prior

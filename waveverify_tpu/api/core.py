@@ -77,14 +77,18 @@ class WaveVerify:
                  config_path: Optional[Union[str, Path]] = None,
                  config: Optional[TrainConfig] = None,
                  seed: int = 0,
-                 precision: str = "default"):
+                 precision: Optional[str] = "default"):
         # Serving runs one-pass bf16 MXU passes for f32 convs ("default"):
         # measured 2.4x over "highest" on v5e with max bit-probability delta
-        # 2e-5 — decision-irrelevant. Pass precision="highest" for bit-level
-        # reference parity work.
+        # 2e-5 — decision-irrelevant on converged small-residual weights.
+        # Pass precision="highest" for bit-level reference parity work, or
+        # precision=None to leave the process-global setting untouched
+        # (callers like the eval CLI manage precision themselves; the ctor
+        # must not clobber their --conv-precision choice).
         from waveverify_tpu.modules.conv import set_conv_precision
 
-        set_conv_precision(precision)
+        if precision is not None:
+            set_conv_precision(precision)
         self.config = config if config is not None else load_config(config_path)
         if checkpoint_path is not None and config is None:
             snap = self._peek_model_config(Path(checkpoint_path))

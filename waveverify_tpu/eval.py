@@ -266,20 +266,20 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
-    if args.conv_precision:
-        from waveverify_tpu.modules.conv import set_conv_precision
-
-        set_conv_precision(args.conv_precision)
-
     from waveverify_tpu.api.core import WaveVerify
-    from waveverify_tpu.config import load_config
     from waveverify_tpu.train.data import (
         AudioFolderDataset,
         SyntheticAudioDataset,
     )
 
+    # Pass config_path (not a constructed config): an explicit `config=`
+    # suppresses the checkpoint's model_config snapshot (msg_mode etc.),
+    # which silently swept carrier-mode checkpoints with the wrong message
+    # path (identity BER 0.53-at-chance vs the true 0.22). Precision is
+    # forwarded so --conv-precision isn't clobbered by the ctor.
     wv = WaveVerify(checkpoint_path=args.checkpoint,
-                    config=load_config(args.config))
+                    config_path=args.config,
+                    precision=args.conv_precision)
     if args.audio_folders:
         ds = AudioFolderDataset(args.audio_folders, args.duration,
                                 wv.sample_rate, args.seed)
