@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Round-3 demo training run: alternating-freeze message-channel recipe
+# (single v5e chip).
+#
+# What changed vs scripts/train_demo_r3.sh, and why (diagnosis in
+# docs/ROADMAP.md priority 1 + scripts/probe_bits.py):
+# - warmup.alt_period=800 / alt_gen_frac=0.25: the r3 run plateaued at
+#   BER 0.20 with 6/16 bits SIGN-INVERTED (accuracy 0.25-0.375) under an
+#   UNCONSTRAINED residual — generator and detector flip a bit's polarity
+#   convention in lockstep under joint updates (simultaneous best-response
+#   oscillation). Long-period alternation turns this into sequential
+#   best-response, which converges in coordination problems: 600 steps
+#   detector-only against a STATIONARY generator code, then 200 steps
+#   joint. Det-phase-first (train/loop.py): the run opens with the
+#   detector learning the init-time carrier code before the generator
+#   ever moves.
+# - warmup.fx_gate=0.08: r3's 0.05 gate sat below the plateau so attacks
+#   never latched and the watermark acquired no low-band energy (VERDICT
+#   r2 missing #3). 0.08 latches as soon as the clean code is clearly
+#   forming; the ber_gate=0.05 perceptual squeeze still waits for the
+#   ATTACKED BER to descend.
+# - everything else matches the r3 recipe (carrier modes, detector LR x10,
+#   clean-decode + bit-level aux losses; see train_demo_r3.sh for the
+#   batch/HBM and compile-host constraints).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export WAVEVERIFY_COMPILE_CACHE=${WAVEVERIFY_COMPILE_CACHE:-$PWD/.jax_cache/train}
+
+CKPT=${CKPT:-checkpoints/demo_r4}
+STEPS=${STEPS:-100000}
+RESUME=${RESUME:-}
+EXTRA=${EXTRA:-}
+
+exec python -m waveverify_tpu.train \
+  --ckpt-dir "$CKPT" \
+  --log-file "$CKPT/train_log.jsonl" \
+  --batch-size 16 \
+  --no-remat --pallas off \
+  --max-steps "$STEPS" \
+  --log-every 50 \
+  --set train_duration=0.9 \
+  --set warmup.steps=6000 --set warmup.init_scale=0.01 \
+  --set warmup.ber_gate=0.05 \
+  --set warmup.fx_gate=0.08 \
+  --set warmup.disc_every=4 \
+  --set warmup.alt_period="${ALT_PERIOD:-800}" \
+  --set warmup.alt_gen_frac="${ALT_GEN_FRAC:-0.25}" \
+  --set valid_freq=1000 \
+  --set sample_freq=10000 \
+  --set Generator.film_gamma_bias=1.0 \
+  --set Generator.msg_mode=carrier \
+  --set Generator.film_carrier_gain="${FILM_CARRIER_GAIN:-0.5}" \
+  --set Generator.latent_carrier_gain="${LATENT_CARRIER_GAIN:-0.2}" \
+  --set AdamW.detector_lr_mult=10 \
+  --set AdamW.generator_lr_mult=2 \
+  --set lambdas.dec/loss_clean=10000 \
+  --set lambdas.dec/loss_bits=20000 \
+  $RESUME $EXTRA

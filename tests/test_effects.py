@@ -396,3 +396,93 @@ def test_effect_bank_scan_dispatch_random_branches_shapes():
     assert np.all(out[0] == 0) and np.all(out[2] == 0)
     assert np.abs(out[1]).max() > 0.01 and np.abs(out[3]).max() > 0.01
     assert not np.allclose(out[1], out[3])  # per-sample keys differ
+
+
+def test_host_codec_roundtrip_with_fake_ffmpeg(monkeypatch, tmp_path):
+    """Exercise the mp3/aac ffmpeg round-trip row-by-row logic — incl. the
+    encoder delay trim (reference utils/effect_augmentation.py:96-97) and
+    the short-output pad — without a real encoder: subprocess.run is faked
+    to write a decode WAV that prepends `delay` silence samples to the
+    input, exactly what a codec's encoder delay looks like."""
+    import shutil
+    import subprocess
+    import wave
+
+    from waveverify_tpu.effects import effects as fx
+
+    monkeypatch.setattr(shutil, "which", lambda name: "/usr/bin/ffmpeg")
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, check=False, **kw):
+        # only intercept ffmpeg invocations (numpy.testing lazily shells
+        # out to lscpu through subprocess.run on first import)
+        if not (isinstance(cmd, (list, tuple)) and cmd
+                and cmd[0] == "ffmpeg"):
+            return real_run(cmd, check=check, **kw)
+        # cmd: ffmpeg -y -loglevel quiet -i <in> [-b:a BR] <out>
+        src, dst = cmd[5], cmd[-1]
+        if dst.endswith(".wav"):  # decode call: in.wav lives next to enc
+            raw = os.path.join(os.path.dirname(dst), "in.wav")
+            with wave.open(raw, "rb") as f:
+                data = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+            delay = 1152 if src.endswith(".mp3") else 1024
+            out = np.concatenate([np.zeros(delay, np.int16), data])
+            with wave.open(dst, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(16000)
+                f.writeframes(out.tobytes())
+        else:  # encode call: just mark the encoded file present
+            with open(dst, "wb") as f:
+                f.write(b"x")
+        return subprocess.CompletedProcess(cmd, 0)
+
+    import os
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+
+    rng = np.random.RandomState(3)
+    audio = rng.randn(2, 4000).astype(np.float32) * 0.1
+    for name, delay in (("mp3_lossy_compression", 1152),
+                        ("aac_lossy_compression", 1024)):
+        y, m = getattr(AudioEffects, name)(audio, None, None,
+                                           sample_rate=16000)
+        y = np.asarray(y)
+        assert y.shape == audio.shape
+        # delay-trimmed: output aligns with the input (int16 quantization
+        # is the only loss in the fake codec)
+        np.testing.assert_allclose(y, audio, atol=2.0 / 32768.0)
+
+
+def test_host_codec_failsafe_without_ffmpeg(monkeypatch):
+    """No ffmpeg in PATH -> the reference's fail-safe contract: input
+    returned unchanged (reference utils/effect_augmentation.py:640-852)."""
+    import shutil
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    audio = np.ones((1, 100), np.float32) * 0.5
+    y, _ = AudioEffects.mp3_lossy_compression(audio, None, None)
+    np.testing.assert_array_equal(np.asarray(y), audio)
+
+
+def test_encodec_proxy_fallback_warns_and_tags(monkeypatch, caplog):
+    """Encodec unavailable -> proxy substitution must WARN and set the
+    `encodec_last_was_proxy` flag (round-2 advisor: silent substitution let
+    callers measure quantize+lowpass as 'encodec robustness')."""
+    import logging
+
+    from waveverify_tpu.effects import effects as fx
+
+    def boom(*a, **k):
+        raise RuntimeError("no weights in image")
+
+    monkeypatch.setattr(fx, "_encodec_roundtrip", boom)
+    audio = jnp.asarray(np.random.RandomState(0)
+                        .randn(1, 2000).astype(np.float32) * 0.1)
+    with caplog.at_level(logging.WARNING,
+                         logger="waveverify_tpu.effects.effects"):
+        y, _ = AudioEffects.encodec(audio, None, jax.random.PRNGKey(0))
+    assert AudioEffects.encodec_last_was_proxy is True
+    assert any("PROXY" in r.message for r in caplog.records)
+    assert np.asarray(y).shape == (1, 2000)

@@ -89,12 +89,26 @@ class WaveVerify:
 
         if precision is not None:
             set_conv_precision(precision)
+        # Config precedence: an explicit `config=` object always wins; else
+        # the checkpoint's embedded model-config snapshot overrides the
+        # (default or YAML-loaded) model sections — the snapshot is what the
+        # weights were trained with, and sweeping carrier-mode checkpoints
+        # without it reads BER-at-chance. When a YAML was explicitly given
+        # AND a snapshot exists, the override is surfaced as a WARNING with
+        # the overridden keys; pass `config=load_config(path)` to make the
+        # YAML win instead.
         self.config = config if config is not None else load_config(config_path)
         if checkpoint_path is not None and config is None:
             snap = self._peek_model_config(Path(checkpoint_path))
             if snap:
                 from waveverify_tpu.config import apply_model_config
 
+                if config_path is not None:
+                    logger.warning(
+                        "checkpoint model-config snapshot overrides the "
+                        "explicit config YAML for model sections %s — pass "
+                        "config=load_config(%r) to force the YAML instead",
+                        sorted(snap.keys()), str(config_path))
                 self.config = apply_model_config(self.config, snap)
                 logger.info("applied model-config snapshot from checkpoint")
         self.models = WatermarkModels.from_config(self.config)

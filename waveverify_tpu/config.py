@@ -255,9 +255,11 @@ class LossConfig:
     # every step. 1 = reference parity (always). Requires warmup_ber_gate.
     warmup_disc_every: int = 1
     # Alternating optimization while the BER-gated ramp is CLOSED: each
-    # period of warmup_alt_period steps updates the generator only for the
-    # first warmup_alt_gen_frac of the period and freezes it (detector +
-    # locator keep training) for the rest. Breaks the symmetric sign-flip
+    # period of warmup_alt_period steps freezes the generator (detector +
+    # locator keep training) for the first 1 - warmup_alt_gen_frac of the
+    # period, then updates it for the tail. Det-phase-first: the run opens
+    # with the detector learning the stationary init-time code before the
+    # generator ever moves. Breaks the symmetric sign-flip
     # equilibrium where generator and detector invert a bit's convention in
     # lockstep every step — measured: individual bits pinned at 0.0 accuracy
     # for 4k+ steps while mean BER plateaued. 0 = off (reference parity:

@@ -21,6 +21,7 @@ trace time.
 
 from __future__ import annotations
 
+import logging
 import math
 from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -28,6 +29,8 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from waveverify_tpu.ops.dsp import (
     bandpass_fir,
@@ -333,13 +336,27 @@ class AudioEffects:
                 sample_rate: int = DEFAULT_SAMPLE_RATE, **kw):
         """Neural-codec attack via HF EncodecModel on host (eval-only,
         reference _EncodecSTE :857-1076). Falls back to the on-device proxy
-        when transformers/weights are unavailable (zero-egress images)."""
+        when transformers/weights are unavailable (zero-egress images) —
+        with a WARNING and a module-level flag, so a caller measuring
+        "encodec robustness" can tell it got quantize+lowpass instead
+        (``AudioEffects.encodec_last_was_proxy``; the eval sweep gates on
+        ``codec_available("encodec")`` and never hits this path blind)."""
         try:
             y = _encodec_roundtrip(np.asarray(audio), sample_rate)
+            AudioEffects.encodec_last_was_proxy = False
             return jnp.asarray(y), mask
-        except Exception:
+        except Exception as e:
+            logger.warning(
+                "encodec round-trip unavailable (%s: %s) — substituting the "
+                "on-device codec_proxy (lowpass+quantize). Metrics from this "
+                "call measure the PROXY, not Encodec.",
+                type(e).__name__, e)
+            AudioEffects.encodec_last_was_proxy = True
             return AudioEffects.codec_proxy(audio, mask, key,
                                             sample_rate=sample_rate)
+
+    # set by the last `encodec` call: True when the proxy was substituted
+    encodec_last_was_proxy: bool = False
 
 
 _ENCODEC_CACHE: Dict[str, object] = {}

@@ -196,11 +196,18 @@ def run_sweep(
             "bit_acc_full": [round(float(a), 4) for a in
                              (decoded_full == bits).mean(axis=0)],
         }
+        # bit_acc summary printed PER ROW so a wall-clock-truncated sweep
+        # still captures the mid-training per-bit signal (VERDICT r2 weak 6)
+        acc_arr = np.asarray(results[tag]["bit_acc_full"])
         logger.info("%-40s ber=%.4f tpr=%.3f fpr=%.3f miou=%.4f "
-                    "ber_full=%.4f tpr_full=%.3f",
+                    "ber_full=%.4f tpr_full=%.3f bit_acc[min=%.2f "
+                    "n<=0.25=%d n>=0.75=%d] %s",
                     tag, *[results[tag][k] for k in
                            ("ber", "tpr", "fpr", "miou", "ber_full",
-                            "tpr_full")])
+                            "tpr_full")],
+                    float(acc_arr.min()), int((acc_arr <= 0.25).sum()),
+                    int((acc_arr >= 0.75).sum()),
+                    "[" + ",".join(f"{a:.2f}" for a in acc_arr) + "]")
 
     if include_codecs:
         from waveverify_tpu.effects.effects import codec_available
@@ -266,6 +273,21 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
+    import os
+
+    import jax
+
+    # Persistent compile cache (same policy as train/__main__.py): the sweep
+    # compiles one program per (effect, length) and cold per-effect XLA
+    # compiles dominated — and truncated — the round-3 re-sweep under its
+    # wall-clock cap. Warm cache makes full 13-row sweeps cheap to rerun.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("WAVEVERIFY_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/waveverify_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from waveverify_tpu.api.core import WaveVerify
     from waveverify_tpu.train.data import (
         AudioFolderDataset,
@@ -275,8 +297,9 @@ def main() -> None:
     # Pass config_path (not a constructed config): an explicit `config=`
     # suppresses the checkpoint's model_config snapshot (msg_mode etc.),
     # which silently swept carrier-mode checkpoints with the wrong message
-    # path (identity BER 0.53-at-chance vs the true 0.22). Precision is
-    # forwarded so --conv-precision isn't clobbered by the ctor.
+    # path (identity BER at chance, ~0.5, instead of the checkpoint's real
+    # number — e.g. 0.1445 for the r3 demo, weights/demo_eval_sweep_r3.json).
+    # Precision is forwarded so --conv-precision isn't clobbered by the ctor.
     wv = WaveVerify(checkpoint_path=args.checkpoint,
                     config_path=args.config,
                     precision=args.conv_precision)

@@ -559,14 +559,18 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         gen_on = True
         if alt:
             # alternating optimization while the ramp is closed: generator
-            # updates for the first alt_gen_frac of each alt_period, frozen
-            # for the rest (detector/locator always update) — breaks the
-            # generator<->detector sign-flip lockstep on individual bits.
+            # frozen (detector/locator keep training) for the first
+            # 1 - alt_gen_frac of each alt_period, then unfrozen for the
+            # tail — breaks the generator<->detector sign-flip lockstep on
+            # individual bits. Det-phase-FIRST so the run opens with the
+            # detector learning the stationary init-time code (carrier
+            # through the frozen random decoder) before the generator ever
+            # moves; a chasing detector never catches a moving carrier.
             # Joint updates resume permanently once the ramp starts moving.
             period = cfg.loss.warmup_alt_period
+            gen_steps = max(1, int(period * cfg.loss.warmup_alt_gen_frac))
             gen_on = (ramp.progress > 0.0
-                      or step % period
-                      < max(1, int(period * cfg.loss.warmup_alt_gen_frac)))
+                      or step % period >= period - gen_steps)
             ramp_args = ramp_args + (np.float32(1.0 if gen_on else 0.0),)
         # attack curriculum (LossConfig.warmup_fx_gate): identity-only
         # branch indices until the host latch opens. Host-side only — the
