@@ -19,6 +19,14 @@
 #   r2 missing #3). 0.08 latches as soon as the clean code is clearly
 #   forming; the ber_gate=0.05 perceptual squeeze still waits for the
 #   ATTACKED BER to descend.
+# - warmup.msg_freeze_gate=0.05 (stationary carrier, VERDICT r2 priority
+#   1b): the generator's msg_*/film_* projections receive zero updates
+#   until the BER EMA reaches 0.05, so the bit->pattern code is literally
+#   constant (init-time Hadamard carriers + frozen learned projections)
+#   while the detector learns it — the generator side of the per-bit
+#   sign-flip cannot move at all. Because the fx latch resets the EMA to
+#   0.5, the carriers stay frozen until the ATTACKED code also decodes to
+#   0.05, then unfreeze permanently for robustness fine-tuning.
 # - everything else matches the r3 recipe (carrier modes, detector LR x10,
 #   clean-decode + bit-level aux losses; see train_demo_r3.sh for the
 #   batch/HBM and compile-host constraints).
@@ -46,6 +54,7 @@ exec python -m waveverify_tpu.train \
   --set warmup.disc_every=4 \
   --set warmup.alt_period="${ALT_PERIOD:-800}" \
   --set warmup.alt_gen_frac="${ALT_GEN_FRAC:-0.25}" \
+  --set warmup.msg_freeze_gate="${MSG_FREEZE_GATE:-0.05}" \
   --set valid_freq=1000 \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \

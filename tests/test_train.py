@@ -832,3 +832,53 @@ def test_gen_update_scale_freezes_generator(setup):
     # detector / locator keep training at the same magnitude either way
     assert d0["detector"] == pytest.approx(d1["detector"], rel=0.5)
     assert d0["locator"] > 0
+
+
+@pytest.mark.slow
+def test_msg_update_scale_freezes_carrier_only(setup):
+    """msg_update_scale=0 (stationary-carrier freeze, warmup_msg_freeze_gate)
+    must freeze ONLY the generator's msg_*/film_* subtrees; the rest of the
+    generator and the detector keep stepping. 1.0 reproduces the joint
+    update."""
+    cfg, models, state, audio, msg, idx = setup
+    mesh = make_mesh(4)
+    step = shard_train_step(
+        make_train_step(models, cfg, SMALL_BANK), mesh,
+        donate_state=False, with_percep_scale=True, with_train_disc=True,
+        with_gen_scale=True, with_msg_scale=True,
+    )
+    a, m, i = shard_batch(mesh, audio, msg, idx)
+    key = jax.random.PRNGKey(5)
+
+    def split_deltas(new_state):
+        """Max |delta| over (msg-path, non-msg) generator leaves."""
+        def walk(old, new, in_msg):
+            if isinstance(old, dict):
+                out = [0.0, 0.0]
+                for k in old:
+                    sub = walk(old[k], new[k],
+                               in_msg or k.startswith(("msg_", "film_")))
+                    out = [max(out[0], sub[0]), max(out[1], sub[1])]
+                return out
+            d = float(np.max(np.abs(np.asarray(old) - np.asarray(new))))
+            return [d, 0.0] if in_msg else [0.0, d]
+
+        return walk(state.wm_params["generator"],
+                    new_state.wm_params["generator"], False)
+
+    s_frozen, _ = step(state, a, m, i, key, np.float32(0.01),
+                       np.bool_(True), np.float32(1.0), np.float32(0.0))
+    s_joint, _ = step(state, a, m, i, key, np.float32(0.01),
+                      np.bool_(True), np.float32(1.0), np.float32(1.0))
+    msg_d0, rest_d0 = split_deltas(s_frozen)
+    msg_d1, rest_d1 = split_deltas(s_joint)
+    max_param = max(
+        float(np.max(np.abs(np.asarray(x))))
+        for x in jax.tree_util.tree_leaves(state.wm_params["generator"]))
+    # frozen: msg-path drift bounded by AdamW weight decay (zero when the
+    # decay mask exempts msg_/film_)
+    assert msg_d0 <= 1.5e-6 * max_param, (msg_d0, msg_d1, max_param)
+    assert msg_d0 < 0.05 * msg_d1, (msg_d0, msg_d1)
+    # the rest of the generator keeps stepping at joint magnitude
+    assert rest_d0 == pytest.approx(rest_d1, rel=0.5)
+    assert rest_d0 > 1e-6

@@ -267,6 +267,22 @@ class LossConfig:
     # starts squeezing, joint updates resume every step.
     warmup_alt_period: int = 0
     warmup_alt_gen_frac: float = 0.25
+    # Stationary-carrier freeze (VERDICT r2 priority 1b). When > 0 the
+    # generator's message-path parameters (module names starting with
+    # ``msg_`` / ``film_`` — the carrier projections) receive ZERO updates
+    # until the train-BER EMA first reaches the gate, then unfreeze for the
+    # rest of the run (one-way host-side latch in BerGatedRamp, fed to the
+    # step as a traced 0/1 scalar — no recompiles). The bit->pattern code
+    # is frozen at its init-time (Hadamard-carrier) value so the detector
+    # learns a STATIONARY code: the generator side of the sign-flip
+    # lockstep (6/16 bits decoded with inverted polarity on the r3 run,
+    # scripts/probe_bits.py) is removed entirely during channel formation.
+    # The rest of the generator keeps training (residual shaping). NOTE:
+    # the latch compares against the same EMA the fx latch resets to 0.5
+    # on attack onset — set this BELOW warmup_fx_gate to keep carriers
+    # frozen until the ATTACKED code also decodes. Requires
+    # warmup_ber_gate. 0 = off.
+    warmup_msg_freeze_gate: float = 0.0
     # Attack-curriculum gate (0 = off -> attacks from step 0, reference
     # parity). When > 0 the effect scheduler selects only `identity` until
     # the train-BER EMA first reaches the gate, then latches attacks ON for
@@ -475,6 +491,8 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_alt_period"] = int(warm["alt_period"])
     if "alt_gen_frac" in warm:
         loss_kwargs["warmup_alt_gen_frac"] = float(warm["alt_gen_frac"])
+    if "msg_freeze_gate" in warm:
+        loss_kwargs["warmup_msg_freeze_gate"] = float(warm["msg_freeze_gate"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

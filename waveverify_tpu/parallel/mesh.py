@@ -66,7 +66,8 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
                      donate_state: bool = True,
                      with_percep_scale: bool = False,
                      with_train_disc: bool = False,
-                     with_gen_scale: bool = False) -> Callable:
+                     with_gen_scale: bool = False,
+                     with_msg_scale: bool = False) -> Callable:
     """jit the train step over the mesh: state replicated (and donated so
     params/optimizer state update in place in HBM), batch tensors sharded on
     the data axis, PRNG key replicated.
@@ -75,8 +76,9 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     trailing replicated host scalar per enabled flag, in order:
     ``with_percep_scale`` (the BER-gated perceptual-ramp value, see
     train/loop.py BerGatedRamp), ``with_train_disc`` (the discriminator-
-    cadence gate) and ``with_gen_scale`` (the alternating-optimization
-    generator-update gate).
+    cadence gate), ``with_gen_scale`` (the alternating-optimization
+    generator-update gate) and ``with_msg_scale`` (the stationary-carrier
+    freeze gate).
     """
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
@@ -84,6 +86,8 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     if with_train_disc:
         extra = extra + (repl,)
     if with_gen_scale:
+        extra = extra + (repl,)
+    if with_msg_scale:
         extra = extra + (repl,)
     return jax.jit(
         train_step,
@@ -97,7 +101,8 @@ def shard_multi_step(multi_step: Callable, mesh: Mesh,
                      donate_state: bool = True,
                      with_percep_scale: bool = False,
                      with_train_disc: bool = False,
-                     with_gen_scale: bool = False) -> Callable:
+                     with_gen_scale: bool = False,
+                     with_msg_scale: bool = False) -> Callable:
     """jit a K-steps-per-dispatch train fn (see make_multi_train_step):
     batch tensors are stacked [K, B, ...] with the batch (axis 1) sharded
     on the data axis; state replicated + donated."""
@@ -107,6 +112,8 @@ def shard_multi_step(multi_step: Callable, mesh: Mesh,
     if with_train_disc:
         extra = extra + (repl,)
     if with_gen_scale:
+        extra = extra + (repl,)
+    if with_msg_scale:
         extra = extra + (repl,)
     return jax.jit(
         multi_step,

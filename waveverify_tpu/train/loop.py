@@ -207,7 +207,8 @@ class BerGatedRamp:
     """
 
     def __init__(self, steps: int, init_scale: float, gate: float,
-                 beta: float = 0.98, fx_gate: float = 0.0):
+                 beta: float = 0.98, fx_gate: float = 0.0,
+                 msg_freeze_gate: float = 0.0):
         self.steps = max(int(steps), 1)
         self.init_scale = float(init_scale)
         self.gate = float(gate)
@@ -222,6 +223,11 @@ class BerGatedRamp:
         # 0 = off (attacks from step 0).
         self.fx_gate = float(fx_gate)
         self.fx_latched = fx_gate <= 0.0
+        # stationary-carrier freeze latch (LossConfig.warmup_msg_freeze_gate,
+        # VERDICT r2 priority 1b): generator msg-path updates stay frozen
+        # until the BER EMA first reaches the gate, then unfreeze for good.
+        self.msg_freeze_gate = float(msg_freeze_gate)
+        self.msg_latched = msg_freeze_gate <= 0.0
 
     def scale(self) -> float:
         # Stage A (fx latch open): perceptual weight EXACTLY zero. At
@@ -238,6 +244,10 @@ class BerGatedRamp:
     def attacks_on(self) -> bool:
         return self.fx_latched
 
+    def msg_on(self) -> bool:
+        """True once the carrier projections may update (freeze released)."""
+        return self.msg_latched
+
     def update(self, ber: float, k: int = 1) -> None:
         """Feed one dispatch's mean attacked-path BER covering ``k`` steps."""
         self.ema = self.beta * self.ema + (1.0 - self.beta) * float(ber)
@@ -249,6 +259,11 @@ class BerGatedRamp:
             # chance prior so the perceptual squeeze can't ride the stale
             # clean-path value through its own (lower) gate
             self.ema = 0.5
+        if not self.msg_latched and self.ema <= self.msg_freeze_gate:
+            self.msg_latched = True
+            logger.info("carrier freeze: BER EMA %.4f <= msg_freeze_gate "
+                        "%.3f — msg-path updates UNFROZEN", self.ema,
+                        self.msg_freeze_gate)
         # the perceptual squeeze must never advance on clean-only BER: while
         # the fx latch is open the EMA measures an unattacked code
         if self.fx_latched and self.ema <= self.gate:
@@ -256,13 +271,16 @@ class BerGatedRamp:
 
     def state_dict(self) -> Dict[str, float]:
         return {"progress": self.progress, "ema": self.ema,
-                "fx_latched": float(self.fx_latched)}
+                "fx_latched": float(self.fx_latched),
+                "msg_latched": float(self.msg_latched)}
 
     def load_state_dict(self, d: Dict[str, float]) -> None:
         self.progress = float(d.get("progress", 0.0))
         self.ema = float(d.get("ema", 0.5))
         self.fx_latched = bool(d.get("fx_latched",
                                      1.0 if self.fx_gate <= 0 else 0.0))
+        self.msg_latched = bool(d.get(
+            "msg_latched", 1.0 if self.msg_freeze_gate <= 0 else 0.0))
 
 
 @dataclass
@@ -379,7 +397,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         ramp = BerGatedRamp(cfg.loss.warmup_steps,
                             cfg.loss.warmup_init_scale,
                             cfg.loss.warmup_ber_gate,
-                            fx_gate=cfg.loss.warmup_fx_gate)
+                            fx_gate=cfg.loss.warmup_fx_gate,
+                            msg_freeze_gate=cfg.loss.warmup_msg_freeze_gate)
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, key, models)
@@ -470,20 +489,30 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     # The train_disc flag is force-enabled alongside it so the positional
     # trailing-scalar order (percep, disc, gen) stays fixed.
     alt = ramp is not None and cfg.loss.warmup_alt_period > 0
-    disc_gate = (ramp is not None and cfg.loss.warmup_disc_every > 1) or alt
+    # stationary-carrier freeze (warmup_msg_freeze_gate): needs its own
+    # trailing scalar; the gen scalar slot precedes it positionally, so it
+    # is force-enabled (held at 1.0) whenever the freeze runs without
+    # alternation — same fixed-order trick as train_disc below.
+    msg_freeze = (ramp is not None
+                  and cfg.loss.warmup_msg_freeze_gate > 0)
+    gen_scalar = alt or msg_freeze
+    disc_gate = ((ramp is not None and cfg.loss.warmup_disc_every > 1)
+                 or gen_scalar)
     if trainer.steps_per_dispatch > 1:
         step_fn = shard_multi_step(
             make_multi_train_step(models, cfg, bank,
                                   trainer.steps_per_dispatch), mesh,
             with_percep_scale=ramp is not None,
             with_train_disc=disc_gate,
-            with_gen_scale=alt,
+            with_gen_scale=gen_scalar,
+            with_msg_scale=msg_freeze,
         )
     else:
         step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
                                    with_percep_scale=ramp is not None,
                                    with_train_disc=disc_gate,
-                                   with_gen_scale=alt)
+                                   with_gen_scale=gen_scalar,
+                                   with_msg_scale=msg_freeze)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -557,6 +586,10 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                      or ((step + j) % cfg.loss.warmup_disc_every == 0)
                      for j in range(K)], dtype=np.bool_),)
         gen_on = True
+        if gen_scalar and not alt:
+            # freeze-only runs: gen scalar present for positional order,
+            # held open
+            ramp_args = ramp_args + (np.float32(1.0),)
         if alt:
             # alternating optimization while the ramp is closed: generator
             # frozen (detector/locator keep training) for the first
@@ -572,6 +605,11 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             gen_on = (ramp.progress > 0.0
                       or step % period >= period - gen_steps)
             ramp_args = ramp_args + (np.float32(1.0 if gen_on else 0.0),)
+        if msg_freeze:
+            # stationary-carrier freeze: msg-path updates zeroed until the
+            # host latch (BER EMA <= msg_freeze_gate) opens, then permanent
+            ramp_args = ramp_args + (
+                np.float32(1.0 if ramp.msg_on() else 0.0),)
         # attack curriculum (LossConfig.warmup_fx_gate): identity-only
         # branch indices until the host latch opens. Host-side only — the
         # compiled program is unchanged; every process computes the same

@@ -89,6 +89,7 @@ def make_train_step(
                    percep_scale: Optional[jnp.ndarray] = None,
                    train_disc: Optional[jnp.ndarray] = None,
                    gen_update_scale: Optional[jnp.ndarray] = None,
+                   msg_update_scale: Optional[jnp.ndarray] = None,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         k_fwd, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
 
@@ -240,6 +241,26 @@ def make_train_step(
             # negligible over a phase.
             g = jnp.asarray(gen_update_scale, jnp.float32)
             gen_clipped = jax.tree_util.tree_map(lambda t: t * g, gen_clipped)
+        if msg_update_scale is not None:
+            # stationary-carrier freeze (config warmup_msg_freeze_gate): a
+            # host-fed 0/1 scalar zeroes updates to the generator's
+            # message-path subtrees (msg_* / film_* — the carrier
+            # projections, same predicate as loop.py's --reinit-msg-path
+            # graft) so the bit->pattern code stays at its init value while
+            # the detector learns it. Traced input — no recompiles at the
+            # unfreeze latch.
+            s = jnp.asarray(msg_update_scale, jnp.float32)
+
+            def _scale_msg(tree, in_msg=False):
+                if isinstance(tree, dict):
+                    return {
+                        k: _scale_msg(v, in_msg
+                                      or k.startswith(("msg_", "film_")))
+                        for k, v in tree.items()
+                    }
+                return tree * s if in_msg else tree
+
+            gen_clipped = _scale_msg(gen_clipped)
         wm_grads = dict(wm_grads, generator=gen_clipped)
         wm_updates, wm_opt_state = wm_tx.update(
             wm_grads, state.wm_opt_state, state.wm_params
@@ -300,7 +321,8 @@ def make_multi_train_step(
               idxs: jnp.ndarray, key: jnp.ndarray,
               percep_scale: Optional[jnp.ndarray] = None,
               train_disc: Optional[jnp.ndarray] = None,
-              gen_update_scale: Optional[jnp.ndarray] = None):
+              gen_update_scale: Optional[jnp.ndarray] = None,
+              msg_update_scale: Optional[jnp.ndarray] = None):
         # percep_scale (BER-gated ramp) and gen_update_scale (alternating
         # optimization) are held constant within the dispatch; the host
         # updates them between dispatches. train_disc must NOT be: the
@@ -317,7 +339,7 @@ def make_multi_train_step(
                 # the inner step folds `key` with st.step, which increments
                 # every iteration — each scanned step gets fresh randomness.
                 return step(st, a, m, i, key, percep_scale, None,
-                            gen_update_scale)
+                            gen_update_scale, msg_update_scale)
 
             return jax.lax.scan(body, state, (audios, msgs, idxs),
                                 length=steps_per_dispatch)
@@ -328,7 +350,7 @@ def make_multi_train_step(
         def body(st, inp):
             a, m, i, disc = inp
             return step(st, a, m, i, key, percep_scale, disc,
-                        gen_update_scale)
+                        gen_update_scale, msg_update_scale)
 
         return jax.lax.scan(body, state, (audios, msgs, idxs, disc_xs),
                             length=steps_per_dispatch)
