@@ -27,7 +27,7 @@ if REPO_ROOT not in sys.path:
 import numpy as np
 
 
-def _build(cfg):
+def _build(cfg, act_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -36,13 +36,25 @@ def _build(cfg):
 
     models = WatermarkModels.from_config(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    act = jnp.dtype(act_dtype)
 
     @jax.jit
     def embed_detect(params, audio, msg):
-        residual = models.apply_generator(params["generator"], audio, msg)
-        watermarked = residual + audio
-        logits = models.apply_detector(params["detector"], watermarked)
-        bit_probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)
+        # bf16 activation mode (profile-driven, docs/SERVING_PERF.md): the
+        # program is memory-bound (intensity ~37 flops/byte vs the ~240
+        # bf16 roofline crossover on v5e), so halving activation bytes is
+        # the first-order lever. The CLEAN audio and the watermarked sum
+        # stay f32 — only the network activations (residual synthesis and
+        # detector features) run in bf16; the residual is cast up before
+        # the add so watermarked-audio fidelity is f32.
+        a = audio.astype(act)
+        residual = models.apply_generator(params["generator"], a,
+                                          msg.astype(act))
+        watermarked = residual.astype(jnp.float32) + audio
+        logits = models.apply_detector(params["detector"],
+                                       watermarked.astype(act))
+        bit_probs = jnp.mean(jax.nn.sigmoid(logits.astype(jnp.float32)),
+                             axis=1)
         return watermarked, bit_probs
 
     return embed_detect, state.wm_params
@@ -75,7 +87,7 @@ def _throughput_with(fn, params, batch: int, clip_len: int, iters: int,
 
 
 def _throughput(device, batch: int, clip_len: int, iters: int,
-                repeats: int = 3) -> float:
+                repeats: int = 3, act_dtype: str = "float32") -> float:
     """clips/sec of jitted embed+detect on `device` (median of `repeats`
     timed windows, warmup excluded, completion forced by host fetch)."""
     import jax
@@ -84,7 +96,7 @@ def _throughput(device, batch: int, clip_len: int, iters: int,
 
     cfg = TrainConfig()
     with jax.default_device(device):
-        fn, params = _build(cfg)
+        fn, params = _build(cfg, act_dtype)
         params = jax.device_put(params, device)
         return _throughput_with(fn, params, batch, clip_len, iters, repeats)
 
@@ -123,6 +135,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu-iters", type=int, default=3)
     ap.add_argument("--cpu-batch", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="accelerator activation dtype (clean audio and the "
+                         "watermarked sum stay f32 either way; the CPU "
+                         "baseline always runs f32)")
     args = ap.parse_args()
 
     n_accel = _probe_real_backend()
@@ -156,7 +173,8 @@ def main() -> None:
 
     note = None
     try:
-        value = _throughput(target, args.batch, clip_len, args.iters)
+        value = _throughput(target, args.batch, clip_len, args.iters,
+                            act_dtype=args.dtype if accel else "float32")
     except Exception as exc:
         if not accel:
             raise
@@ -189,6 +207,7 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(value / max(cpu_tp, 1e-9), 2),
+        "act_dtype": args.dtype if accel else "float32",
     }
     if n_accel == 0:
         out["note"] = ("accelerator unreachable (tunnel wedge outlasted the "

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="/tmp/waveverify_profile")
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="activation dtype for the profiled program")
     args = ap.parse_args()
 
     import jax
@@ -53,12 +56,21 @@ def main() -> None:
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
     params = state.wm_params
 
+    act = jnp.dtype(args.dtype)
+
     @jax.jit
     def embed_detect(params, audio, msg):
-        residual = models.apply_generator(params["generator"], audio, msg)
+        # --dtype bfloat16: same structure as bench.py — network passes in
+        # bf16, clean audio + watermarked sum stay f32 (memory-bound
+        # program; halving activation bytes is the first-order lever)
+        residual = models.apply_generator(
+            params["generator"], audio.astype(act), msg.astype(act)
+        ).astype(jnp.float32)
         watermarked = residual + audio
-        logits = models.apply_detector(params["detector"], watermarked)
-        bit_probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)
+        logits = models.apply_detector(params["detector"],
+                                       watermarked.astype(act))
+        bit_probs = jnp.mean(jax.nn.sigmoid(logits.astype(jnp.float32)),
+                             axis=1)
         return watermarked, bit_probs
 
     rng = np.random.RandomState(0)

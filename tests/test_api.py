@@ -305,3 +305,44 @@ def test_ctor_precision_none_leaves_global():
         assert conv_mod._CONV_PRECISION == jax.lax.Precision.DEFAULT
     finally:
         conv_mod._CONV_PRECISION = prior
+
+
+def test_serve_dtype_bf16_path(wv, wav_file):
+    """serve_dtype="bfloat16" runs the network passes in bf16 while keeping
+    the public outputs f32 and the watermarked audio at f32 fidelity.
+    Decision-level agreement with f32 is measured per-checkpoint by the
+    eval CLI's --serve-dtype study; here we check structure: dtypes, finite
+    outputs, and that the bf16 residual tracks the f32 one closely relative
+    to its own scale (same weights, same audio)."""
+    import jax.numpy as jnp
+
+    wv16 = WaveVerify(config=wv.config, serve_dtype="bfloat16")
+    wv16.params = wv.params  # identical (random) weights
+
+    audio, _ = load_audio(wav_file)
+    x, t = wv._pad_bucket(audio)
+    msg = jnp.zeros((1, 16), jnp.float32)
+
+    r32, w32 = wv._generator_fn(x.shape[-1])(wv.params, x, msg)
+    r16, w16 = wv16._generator_fn(x.shape[-1])(wv16.params, x, msg)
+    assert w16.dtype == jnp.float32 and r16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(w16)).all()
+    # RANDOM weights amplify bf16 noise chaotically through the L2Norm'd
+    # encoder (measured: cosine 0.857, rms-delta/rms 0.53 on this config)
+    # — so bound direction + energy, not elementwise closeness. The
+    # trained-checkpoint delta is what matters and is measured by the eval
+    # CLI --serve-dtype study.
+    a, b = np.asarray(r16).ravel(), np.asarray(r32).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.7, cos
+    assert np.sqrt(((a - b) ** 2).mean()) < np.sqrt((b ** 2).mean()), \
+        "bf16 noise exceeds the signal itself"
+
+    p32, c32 = wv._detector_fn(x.shape[-1])(wv.params, x, jnp.int32(t))
+    p16, c16 = wv16._detector_fn(x.shape[-1])(wv16.params, x, jnp.int32(t))
+    assert p16.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(p16 - p32))) < 0.05
+
+    m16 = wv16._locator_fn(x.shape[-1])(wv16.params, x)
+    assert m16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(m16)).all()

@@ -71,13 +71,23 @@ class WaveVerify:
         - ``None``: randomly-initialized weights (embedding still works
           end-to-end; detection quality requires trained weights).
     config_path: optional reference-format YAML (conf/base.yml schema).
+    serve_dtype: activation dtype for the jitted model passes. "bfloat16"
+        roughly halves HBM traffic on the memory-bound serving program
+        (profile: intensity ~37 flops/byte vs the ~240 roofline crossover
+        on v5e) — clean audio, the watermarked sum, and all
+        probabilities/decisions stay f32; only network-internal [B, T, C]
+        activations are bf16. Default "float32" = bit-level parity with
+        the reference path; flip to "bfloat16" for throughput-critical
+        serving (BER impact measured per-checkpoint by the eval CLI's
+        --serve-dtype study).
     """
 
     def __init__(self, checkpoint_path: Optional[Union[str, Path]] = None,
                  config_path: Optional[Union[str, Path]] = None,
                  config: Optional[TrainConfig] = None,
                  seed: int = 0,
-                 precision: Optional[str] = "default"):
+                 precision: Optional[str] = "default",
+                 serve_dtype: str = "float32"):
         # Serving runs one-pass bf16 MXU passes for f32 convs ("default"):
         # measured 2.4x over "highest" on v5e with max bit-probability delta
         # 2e-5 — decision-irrelevant on converged small-residual weights.
@@ -114,6 +124,7 @@ class WaveVerify:
         self.models = WatermarkModels.from_config(self.config)
         self.sample_rate = self.config.generator.sample_rate
         self.hop = self.config.generator.hop_length
+        self._act = jnp.dtype(serve_dtype)
         self._apply_cache: Dict[Tuple[str, int], callable] = {}
 
         if checkpoint_path is not None:
@@ -215,11 +226,17 @@ class WaveVerify:
     def _generator_fn(self, length: int):
         key = ("generator", length)
         if key not in self._apply_cache:
+            act = self._act
+
             @jax.jit
             def run(params, audio, msg):
+                # serve_dtype: network runs in `act`; the residual is cast
+                # up BEFORE the add so the watermarked audio keeps f32
+                # fidelity (the watermark residual's own bf16 quantization
+                # is ~0.4% relative on an already ~-25 dB signal)
                 residual = self.models.apply_generator(
-                    params["generator"], audio, msg
-                )
+                    params["generator"], audio.astype(act), msg.astype(act)
+                ).astype(audio.dtype)
                 return residual, residual + audio
 
             self._apply_cache[key] = run
@@ -237,9 +254,13 @@ class WaveVerify:
         """
         key = ("detector", length)
         if key not in self._apply_cache:
+            act = self._act
+
             @jax.jit
             def run(params, audio, t):
-                logits = self.models.apply_detector(params["detector"], audio)
+                logits = self.models.apply_detector(
+                    params["detector"], audio.astype(act)
+                ).astype(jnp.float32)
                 probs = jax.nn.sigmoid(logits)  # [B, T, nbits]
                 valid = (jnp.arange(probs.shape[1]) < t)[None, :, None]
                 denom = jnp.maximum(t, 1).astype(probs.dtype)
@@ -253,10 +274,14 @@ class WaveVerify:
     def _locator_fn(self, length: int):
         key = ("locator", length)
         if key not in self._apply_cache:
+            act = self._act
+
             @jax.jit
             def run(params, audio):
                 return jax.nn.sigmoid(
-                    self.models.apply_locator(params["locator"], audio)
+                    self.models.apply_locator(
+                        params["locator"], audio.astype(act)
+                    ).astype(jnp.float32)
                 )
 
             self._apply_cache[key] = run
@@ -323,9 +348,12 @@ class WaveVerify:
         of sigmoid(logits), identical to the full-length definition."""
         key = ("detector_logits", self.chunk_context + self.chunk_samples)
         if key not in self._apply_cache:
+            act = self._act
             self._apply_cache[key] = jax.jit(
                 lambda p, a: jax.nn.sigmoid(
-                    self.models.apply_detector(p["detector"], a)
+                    self.models.apply_detector(
+                        p["detector"], a.astype(act)
+                    ).astype(jnp.float32)
                 )
             )
         fn = self._apply_cache[key]
@@ -426,10 +454,13 @@ class WaveVerify:
             in_sh, batch_put = sh
             key = ("generator_mesh", x.shape[-1])
             if key not in self._apply_cache:
+                act = self._act
+
                 def run(params, audio, msg):
                     residual = self.models.apply_generator(
-                        params["generator"], audio, msg
-                    )
+                        params["generator"], audio.astype(act),
+                        msg.astype(act)
+                    ).astype(audio.dtype)
                     return residual, residual + audio
 
                 self._apply_cache[key] = jax.jit(run, in_shardings=in_sh)
@@ -451,10 +482,12 @@ class WaveVerify:
             in_sh, batch_put = sh
             key = ("detector_mesh", x.shape[-1])
             if key not in self._apply_cache:
+                act = self._act
+
                 def run(params, audio):
                     logits = self.models.apply_detector(
-                        params["detector"], audio
-                    )
+                        params["detector"], audio.astype(act)
+                    ).astype(jnp.float32)
                     probs = jnp.mean(jax.nn.sigmoid(logits), axis=1)
                     return probs, detector_confidence(logits)
 

@@ -67,6 +67,7 @@ def run_sweep(
     effects: Optional[List[List[Tuple[str, Dict]]]] = None,
     splice_fraction: float = 0.2,
     include_codecs: bool = True,
+    serve_dtype: str = "float32",
 ) -> Dict[str, Dict[str, float]]:
     """audio [B, T] clean clips -> {effect_tag: {ber, tpr, fpr, miou, conf}}.
 
@@ -74,6 +75,11 @@ def run_sweep(
     ``splice_fraction`` span of each clip is reverted to the clean signal
     (the reference's localization augmentation in its simplest form); MIoU
     scores the locator's mask against that ground truth after each attack.
+
+    ``serve_dtype="bfloat16"`` runs the network passes (generator /
+    detector / locator) with bf16 activations — the serving fast path —
+    while audio, effects, and all metrics stay f32; diffing a bf16 sweep
+    against the f32 one is the BER-impact study for that mode.
     """
     import jax
     import jax.numpy as jnp
@@ -85,6 +91,23 @@ def run_sweep(
         effects = [[e] for e in EVAL_SINGLE] + [list(c) for c in EVAL_COMBINED]
 
     models, params = wv.models, wv.params
+    act = jnp.dtype(serve_dtype)
+
+    def gen(p, x, m):
+        return models.apply_generator(
+            p["generator"], x.astype(act), m.astype(act)
+        ).astype(jnp.float32)
+
+    def det(p, x):
+        return models.apply_detector(
+            p["detector"], x.astype(act)
+        ).astype(jnp.float32)
+
+    def loc(p, x):
+        return models.apply_locator(
+            p["locator"], x.astype(act)
+        ).astype(jnp.float32)
+
     b, t = audio.shape
     rng = np.random.RandomState(seed)
     bits = rng.randint(0, 2, (b, 16)).astype(np.float32)
@@ -98,8 +121,7 @@ def run_sweep(
 
     @jax.jit
     def prepare(params, clean, bits, mask):
-        residual = models.apply_generator(params["generator"],
-                                          clean, bits)
+        residual = gen(params, clean, bits)
         wm = residual + clean
         spliced = jnp.where(mask > 0.5, wm, clean)
         return wm, spliced
@@ -113,14 +135,14 @@ def run_sweep(
                 fn = getattr(AudioEffects, name)
                 x, m = fn(x, m, sub, sample_rate=wv.sample_rate, **eff_params)
                 m = mask if m is None else m
-            det = models.apply_detector(params["detector"], x)
-            loc = models.apply_locator(params["locator"], x)
-            bit_probs = jnp.mean(jax.nn.sigmoid(det), axis=1)  # [B, 16]
-            sample_ber = ber_fn(det, bits, m, per_sample=True)
-            sample_miou = miou_fn(jax.nn.sigmoid(loc), m, per_sample=True)
-            confidence = jnp.mean(jax.nn.sigmoid(det), axis=(1, 2))
+            det_l = det(params, x)
+            loc_l = loc(params, x)
+            bit_probs = jnp.mean(jax.nn.sigmoid(det_l), axis=1)  # [B, 16]
+            sample_ber = ber_fn(det_l, bits, m, per_sample=True)
+            sample_miou = miou_fn(jax.nn.sigmoid(loc_l), m, per_sample=True)
+            confidence = jnp.mean(jax.nn.sigmoid(det_l), axis=(1, 2))
             # clean-audio confidence for FPR
-            det_clean = models.apply_detector(params["detector"], clean)
+            det_clean = det(params, clean)
             probs_clean = jnp.mean(jax.nn.sigmoid(det_clean), axis=1)
             # full-clip protocol (reference detection table: watermark
             # everywhere, no spliced-clean dilution of the frame mean)
@@ -131,7 +153,7 @@ def run_sweep(
                 xf, mf2 = fn(xf, mf, sub, sample_rate=wv.sample_rate,
                              **eff_params)
                 mf = mf if mf2 is None else mf2
-            det_full = models.apply_detector(params["detector"], xf)
+            det_full = det(params, xf)
             bit_probs_full = jnp.mean(jax.nn.sigmoid(det_full), axis=1)
             sample_ber_full = ber_fn(det_full, bits, mf, per_sample=True)
             return (sample_ber, sample_miou, confidence, bit_probs,
@@ -216,11 +238,11 @@ def run_sweep(
         # across codec rows
         @jax.jit
         def measure(params, x, bits, mask):
-            det = models.apply_detector(params["detector"], x)
-            loc = models.apply_locator(params["locator"], x)
-            bit_probs = jnp.mean(jax.nn.sigmoid(det), axis=1)
-            return (ber_fn(det, bits, mask, per_sample=True),
-                    miou_fn(jax.nn.sigmoid(loc), mask, per_sample=True),
+            det_l = det(params, x)
+            loc_l = loc(params, x)
+            bit_probs = jnp.mean(jax.nn.sigmoid(det_l), axis=1)
+            return (ber_fn(det_l, bits, mask, per_sample=True),
+                    miou_fn(jax.nn.sigmoid(loc_l), mask, per_sample=True),
                     bit_probs)
 
         spliced_np = np.asarray(spliced)
@@ -269,6 +291,11 @@ def main() -> None:
                     help="MXU conv precision for the sweep; 'default' = "
                     "one-pass bf16 (run vs 'highest' for the bf16 BER-impact "
                     "study, docs/ROADMAP.md)")
+    ap.add_argument("--serve-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="activation dtype for the model passes; 'bfloat16' "
+                    "is the memory-bound serving fast path — sweep both and "
+                    "diff for its BER-impact study")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -311,7 +338,8 @@ def main() -> None:
         ds = SyntheticAudioDataset(args.duration, wv.sample_rate, args.seed)
     audio = ds.batch(args.batch)
 
-    results = run_sweep(wv, audio, seed=args.seed)
+    results = run_sweep(wv, audio, seed=args.seed,
+                        serve_dtype=args.serve_dtype)
 
     q = results.get("_quality", {})
     if q:
@@ -335,7 +363,8 @@ def main() -> None:
                              "duration": args.duration,
                              "seed": args.seed,
                              "conv_precision": args.conv_precision
-                             or "highest"}}
+                             or "highest",
+                             "serve_dtype": args.serve_dtype}}
         payload.update(results)
         with open(args.json_out, "w") as f:
             json.dump(payload, f, indent=2)

@@ -250,18 +250,29 @@ def localization_loss(locator_logits: jnp.ndarray,
 
 
 def decoding_loss(detector_logits: jnp.ndarray, presence_mask: jnp.ndarray,
-                  message: jnp.ndarray) -> jnp.ndarray:
+                  message: jnp.ndarray,
+                  bit_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """BCE-with-logits of per-sample bit logits vs message*mask
     (reference scripts/loss.py:1021-1099): the target is the message
     broadcast over time, zeroed where the watermark is absent.
-    detector_logits [B, T, W]; presence_mask [B, T]; message [B, W]."""
+    detector_logits [B, T, W]; presence_mask [B, T]; message [B, W].
+
+    ``bit_mask`` [W] (nbits curriculum, LossConfig.warmup_nbits_start):
+    per-bit loss weights, normalized by the number of active bits so the
+    gradient scale per active bit is curriculum-independent."""
     target = message[:, None, :] * presence_mask[:, :, None]
-    return bce_with_logits(detector_logits, target)
+    if bit_mask is None:
+        return bce_with_logits(detector_logits, target)
+    el = bce_with_logits(detector_logits, target, reduce=False)  # [B, T, W]
+    w = bit_mask[None, None, :]
+    denom = el.shape[0] * el.shape[1] * jnp.maximum(jnp.sum(bit_mask), 1.0)
+    return jnp.sum(el * w) / denom
 
 
 def decoding_loss_bits(detector_logits: jnp.ndarray,
                        presence_mask: Optional[jnp.ndarray],
-                       message: jnp.ndarray) -> jnp.ndarray:
+                       message: jnp.ndarray,
+                       bit_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Bit-level decoding BCE on the (masked) time-MEAN logit.
 
     Training-side improvement (no reference counterpart): the deployed
