@@ -165,3 +165,58 @@ def test_sisdr_loss():
     noisy = x + 0.1 * jnp.asarray(np.random.RandomState(2).randn(*x.shape),
                                   jnp.float32)
     assert float(losses.sisdr_loss(noisy, x)) > float(losses.sisdr_loss(x, x))
+
+
+def test_decoding_losses_bit_mask_semantics():
+    """bit_mask (nbits curriculum): all-ones == no mask; a subset mask
+    equals computing the loss on just those bit columns; masked-out bits
+    get exactly zero gradient."""
+    b, t, w = 2, 50, 16
+    rng = np.random.RandomState(3)
+    msg = jnp.asarray(rng.randint(0, 2, (b, w)), jnp.float32)
+    logits = jnp.asarray(rng.randn(b, t, w), jnp.float32)
+    mask = jnp.ones((b, t))
+    ones = jnp.ones((w,))
+    k = 4
+    sub = (jnp.arange(w) < k).astype(jnp.float32)
+
+    for fn in (losses.decoding_loss, losses.decoding_loss_bits):
+        base = float(fn(logits, mask, msg))
+        assert np.isclose(base, float(fn(logits, mask, msg, bit_mask=ones)),
+                          atol=1e-6)
+        masked = float(fn(logits, mask, msg, bit_mask=sub))
+        ref = float(fn(logits[..., :k], mask, msg[:, :k]))
+        assert np.isclose(masked, ref, atol=1e-6), (fn.__name__, masked, ref)
+        g = jax.grad(lambda lg: fn(lg, mask, msg, bit_mask=sub))(logits)
+        assert float(jnp.abs(g[..., k:]).max()) == 0.0
+        assert float(jnp.abs(g[..., :k]).max()) > 0.0
+    # the None-presence-mask branch of the bit-level loss too
+    assert np.isclose(
+        float(losses.decoding_loss_bits(logits, None, msg, bit_mask=sub)),
+        float(losses.decoding_loss_bits(logits[..., :k], None, msg[:, :k])),
+        atol=1e-6)
+
+
+def test_nbits_curriculum_controller():
+    from waveverify_tpu.train.loop import NbitsCurriculum
+
+    c = NbitsCurriculum(16, 4, gate=0.02, beta=0.5)
+    assert c.mask().tolist() == [1.0] * 4 + [0.0] * 12
+    # feed perfect accuracy on active bits: EMA converges, then doubles
+    acc = np.concatenate([np.ones(4), np.full(12, 0.5)])
+    for _ in range(12):
+        c.update(acc)
+    assert c.n_active == 8
+    # newly-activated bits reset to chance so the next doubling needs
+    # fresh evidence
+    assert np.allclose(c.acc_ema[4:8], 0.5)
+    # state roundtrip
+    d = c.state_dict()
+    c2 = NbitsCurriculum(16, 4, gate=0.02)
+    c2.load_state_dict(d)
+    assert c2.n_active == 8 and np.allclose(c2.acc_ema, c.acc_ema)
+    # saturates at nbits and stops growing
+    for _ in range(200):
+        c2.update(np.ones(16))
+    assert c2.n_active == 16
+    assert c2.mask().sum() == 16

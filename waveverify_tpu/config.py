@@ -283,6 +283,17 @@ class LossConfig:
     # frozen until the ATTACKED code also decodes. Requires
     # warmup_ber_gate. 0 = off.
     warmup_msg_freeze_gate: float = 0.0
+    # nbits curriculum (VERDICT r2 priority 1c). When > 0, the decoding
+    # losses are masked to the first N bits (host-fed traced [nbits]
+    # weight vector — no recompiles); N starts at warmup_nbits_start and
+    # DOUBLES (capped at nbits) whenever the EMA bit-accuracy over the
+    # currently-active bits reaches 1 - warmup_nbits_gate. The k-bit
+    # problem is easier than 16-at-once from a cold start; already-active
+    # bits keep weight 1 so they are not forgotten, and inactive bits
+    # contribute zero gradient until activated. 0 = off (all bits from
+    # step 0, reference parity).
+    warmup_nbits_start: int = 0
+    warmup_nbits_gate: float = 0.02
     # Attack-curriculum gate (0 = off -> attacks from step 0, reference
     # parity). When > 0 the effect scheduler selects only `identity` until
     # the train-BER EMA first reaches the gate, then latches attacks ON for
@@ -493,6 +504,10 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_alt_gen_frac"] = float(warm["alt_gen_frac"])
     if "msg_freeze_gate" in warm:
         loss_kwargs["warmup_msg_freeze_gate"] = float(warm["msg_freeze_gate"])
+    if "nbits_start" in warm:
+        loss_kwargs["warmup_nbits_start"] = int(warm["nbits_start"])
+    if "nbits_gate" in warm:
+        loss_kwargs["warmup_nbits_gate"] = float(warm["nbits_gate"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

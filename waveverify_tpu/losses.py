@@ -287,10 +287,18 @@ def decoding_loss_bits(detector_logits: jnp.ndarray,
     """
     if presence_mask is None:
         z = jnp.mean(detector_logits, axis=1)  # [B, W]
-        return bce_with_logits(z, message)
+        if bit_mask is None:
+            return bce_with_logits(z, message)
+        el = bce_with_logits(z, message, reduce=False)  # [B, W]
+        return (jnp.sum(el * bit_mask[None, :])
+                / (el.shape[0] * jnp.maximum(jnp.sum(bit_mask), 1.0)))
     m = presence_mask[:, :, None]  # [B, T, 1]
     denom = jnp.sum(m, axis=1)  # [B, 1]
     z = jnp.sum(detector_logits * m, axis=1) / jnp.maximum(denom, 1.0)
     valid = (denom > 0).astype(z.dtype)  # samples with any watermarked frame
     per_bit = bce_with_logits(z, message, reduce=False) * valid
-    return jnp.sum(per_bit) / jnp.maximum(jnp.sum(valid) * z.shape[-1], 1.0)
+    if bit_mask is None:
+        return jnp.sum(per_bit) / jnp.maximum(jnp.sum(valid) * z.shape[-1],
+                                              1.0)
+    return (jnp.sum(per_bit * bit_mask[None, :])
+            / jnp.maximum(jnp.sum(valid) * jnp.sum(bit_mask), 1.0))

@@ -67,7 +67,8 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
                      with_percep_scale: bool = False,
                      with_train_disc: bool = False,
                      with_gen_scale: bool = False,
-                     with_msg_scale: bool = False) -> Callable:
+                     with_msg_scale: bool = False,
+                     with_bit_mask: bool = False) -> Callable:
     """jit the train step over the mesh: state replicated (and donated so
     params/optimizer state update in place in HBM), batch tensors sharded on
     the data axis, PRNG key replicated.
@@ -77,8 +78,9 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     ``with_percep_scale`` (the BER-gated perceptual-ramp value, see
     train/loop.py BerGatedRamp), ``with_train_disc`` (the discriminator-
     cadence gate), ``with_gen_scale`` (the alternating-optimization
-    generator-update gate) and ``with_msg_scale`` (the stationary-carrier
-    freeze gate).
+    generator-update gate), ``with_msg_scale`` (the stationary-carrier
+    freeze gate) and ``with_bit_mask`` (the [nbits] curriculum weight
+    vector).
     """
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh)
@@ -89,6 +91,8 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
         extra = extra + (repl,)
     if with_msg_scale:
         extra = extra + (repl,)
+    if with_bit_mask:
+        extra = extra + (repl,)  # [nbits] replicated weight vector
     return jax.jit(
         train_step,
         in_shardings=(repl, batch, batch, batch, repl) + extra,
@@ -102,7 +106,8 @@ def shard_multi_step(multi_step: Callable, mesh: Mesh,
                      with_percep_scale: bool = False,
                      with_train_disc: bool = False,
                      with_gen_scale: bool = False,
-                     with_msg_scale: bool = False) -> Callable:
+                     with_msg_scale: bool = False,
+                     with_bit_mask: bool = False) -> Callable:
     """jit a K-steps-per-dispatch train fn (see make_multi_train_step):
     batch tensors are stacked [K, B, ...] with the batch (axis 1) sharded
     on the data axis; state replicated + donated."""
@@ -115,6 +120,8 @@ def shard_multi_step(multi_step: Callable, mesh: Mesh,
         extra = extra + (repl,)
     if with_msg_scale:
         extra = extra + (repl,)
+    if with_bit_mask:
+        extra = extra + (repl,)  # [nbits] replicated weight vector
     return jax.jit(
         multi_step,
         in_shardings=(repl, stacked, stacked, stacked, repl) + extra,

@@ -283,6 +283,54 @@ class BerGatedRamp:
             "msg_latched", 1.0 if self.msg_freeze_gate <= 0 else 0.0))
 
 
+class NbitsCurriculum:
+    """Host-side nbits-curriculum controller (LossConfig.warmup_nbits_start,
+    VERDICT r2 priority 1c).
+
+    Starts with the first ``start`` bits active; whenever the EMA decision
+    accuracy over the ACTIVE bits reaches ``1 - gate``, doubles the active
+    count (capped at nbits) and resets the newly-activated bits' EMA to
+    chance. Emits a [nbits] 0/1 weight vector fed to the jitted step as a
+    traced argument — growing the active set changes no program.
+    """
+
+    def __init__(self, nbits: int, start: int, gate: float,
+                 beta: float = 0.98):
+        self.nbits = int(nbits)
+        self.n_active = max(1, min(int(start), self.nbits))
+        self.gate = float(gate)
+        self.beta = float(beta)
+        self.acc_ema = np.full(self.nbits, 0.5, np.float64)
+
+    def mask(self) -> np.ndarray:
+        return (np.arange(self.nbits) < self.n_active).astype(np.float32)
+
+    def update(self, per_bit_acc: np.ndarray) -> None:
+        self.acc_ema = (self.beta * self.acc_ema
+                        + (1.0 - self.beta) * np.asarray(per_bit_acc,
+                                                         np.float64))
+        if self.n_active < self.nbits:
+            active_ber = 1.0 - float(self.acc_ema[: self.n_active].mean())
+            if active_ber <= self.gate:
+                old = self.n_active
+                self.n_active = min(2 * self.n_active, self.nbits)
+                self.acc_ema[old : self.n_active] = 0.5
+                logger.info(
+                    "nbits curriculum: active-bit BER %.4f <= gate %.3f — "
+                    "growing %d -> %d active bits", active_ber, self.gate,
+                    old, self.n_active)
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"n_active": self.n_active,
+                "acc_ema": self.acc_ema.tolist()}
+
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
+        self.n_active = int(d.get("n_active", self.n_active))
+        ema = d.get("acc_ema")
+        if ema is not None and len(ema) == self.nbits:
+            self.acc_ema = np.asarray(ema, np.float64)
+
+
 @dataclass
 class TrainerConfig:
     """Host-side loop knobs, separate from the model/optim TrainConfig."""
@@ -399,6 +447,11 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                             cfg.loss.warmup_ber_gate,
                             fx_gate=cfg.loss.warmup_fx_gate,
                             msg_freeze_gate=cfg.loss.warmup_msg_freeze_gate)
+    curr: Optional[NbitsCurriculum] = None
+    if ramp is not None and cfg.loss.warmup_nbits_start > 0:
+        curr = NbitsCurriculum(cfg.generator.msg_dimension,
+                               cfg.loss.warmup_nbits_start,
+                               cfg.loss.warmup_nbits_gate)
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, key, models)
@@ -434,6 +487,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             scheduler.load_state_dict(meta["scheduler_state"])
         if ramp is not None and meta.get("ramp_state"):
             ramp.load_state_dict(meta["ramp_state"])
+        if curr is not None and meta.get("nbits_state"):
+            curr.load_state_dict(meta["nbits_state"])
         tracker.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         logger.info("resumed from step %d", start_step)
     elif trainer.init_weights:
@@ -489,12 +544,13 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     # The train_disc flag is force-enabled alongside it so the positional
     # trailing-scalar order (percep, disc, gen) stays fixed.
     alt = ramp is not None and cfg.loss.warmup_alt_period > 0
-    # stationary-carrier freeze (warmup_msg_freeze_gate): needs its own
-    # trailing scalar; the gen scalar slot precedes it positionally, so it
-    # is force-enabled (held at 1.0) whenever the freeze runs without
-    # alternation — same fixed-order trick as train_disc below.
-    msg_freeze = (ramp is not None
-                  and cfg.loss.warmup_msg_freeze_gate > 0)
+    # Trailing traced args are positional (percep, disc, gen, msg,
+    # bit_mask): enabling a later slot force-enables the earlier scalar
+    # slots (held at their neutral values) so the order stays fixed — same
+    # trick as train_disc alongside alt.
+    nbits_on = curr is not None
+    msg_freeze = ((ramp is not None
+                   and cfg.loss.warmup_msg_freeze_gate > 0) or nbits_on)
     gen_scalar = alt or msg_freeze
     disc_gate = ((ramp is not None and cfg.loss.warmup_disc_every > 1)
                  or gen_scalar)
@@ -506,13 +562,15 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             with_train_disc=disc_gate,
             with_gen_scale=gen_scalar,
             with_msg_scale=msg_freeze,
+            with_bit_mask=nbits_on,
         )
     else:
         step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
                                    with_percep_scale=ramp is not None,
                                    with_train_disc=disc_gate,
                                    with_gen_scale=gen_scalar,
-                                   with_msg_scale=msg_freeze)
+                                   with_msg_scale=msg_freeze,
+                                   with_bit_mask=nbits_on)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -540,8 +598,10 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                                cfg.generator.msg_dimension, data_seed)
     total = max_steps if max_steps is not None else cfg.num_iters
 
-    # (local per-sample metrics, local selections, replicated train/ber)
-    pending: Optional[Tuple[Dict[str, Any], List[Tuple[str, Dict]], Any]] = None
+    # (local per-sample metrics, local selections, replicated train/ber,
+    #  replicated per-bit accuracy)
+    pending: Optional[
+        Tuple[Dict[str, Any], List[Tuple[str, Dict]], Any, Any]] = None
     val_rng = np.random.RandomState(cfg.seed + 13)
 
     sample_fn = None
@@ -610,6 +670,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             # host latch (BER EMA <= msg_freeze_gate) opens, then permanent
             ramp_args = ramp_args + (
                 np.float32(1.0 if ramp.msg_on() else 0.0),)
+        if nbits_on:
+            ramp_args = ramp_args + (curr.mask(),)
         # attack curriculum (LossConfig.warmup_fx_gate): identity-only
         # branch indices until the host latch opens. Host-side only — the
         # compiled program is unchanged; every process computes the same
@@ -672,6 +734,9 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             _feed_scheduler(scheduler, pending[0], pending[1])
             if ramp is not None:
                 ramp.update(float(np.mean(np.asarray(pending[2]))), k=K)
+            if curr is not None:
+                acc = np.asarray(pending[3])
+                curr.update(acc.mean(axis=0) if acc.ndim == 2 else acc)
         pending = (
             {"ber": local_batch_rows(metrics["per_sample_ber"],
                                      axis=1 if K > 1 else 0),
@@ -679,6 +744,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                                       axis=1 if K > 1 else 0)},
             selections,
             metrics["train/ber"],
+            metrics["per_bit_acc"],
         )
 
         step_end = step + K  # K=1: this dispatch covered [step, step_end)
@@ -702,6 +768,15 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                     host["ramp/fx_on"] = float(fx_on)
             if alt:
                 host["ramp/gen_on"] = float(gen_on)
+            # per-bit decision accuracy (attacked path): min + count of
+            # below-chance bits — the live sign-flip-lockstep signature
+            acc = np.asarray(metrics["per_bit_acc"])
+            if acc.ndim == 2:
+                acc = acc[-1]
+            host["bits/acc_min"] = float(acc.min())
+            host["bits/n_below_chance"] = float((acc < 0.45).sum())
+            if curr is not None:
+                host["ramp/nbits_active"] = float(curr.n_active)
             tracker.update(last_step, host)
             logger.info(
                 "step %d loss %.4f dec %.4f loc %.4f ber %.4f miou %.4f",
@@ -750,6 +825,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                                  step_end)
             host_state = {
                 "step": step_end,
+                "nbits_state": (curr.state_dict() if curr is not None
+                                else None),
                 "scheduler_state": scheduler.state_dict(),
                 "best_val_loss": tracker.best_val_loss,
                 # architecture snapshot: inference (api.core.WaveVerify)

@@ -90,6 +90,7 @@ def make_train_step(
                    train_disc: Optional[jnp.ndarray] = None,
                    gen_update_scale: Optional[jnp.ndarray] = None,
                    msg_update_scale: Optional[jnp.ndarray] = None,
+                   bit_mask: Optional[jnp.ndarray] = None,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         k_fwd, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
 
@@ -190,7 +191,8 @@ def make_train_step(
             logs["adv/gen_loss"] = adv_gen
             logs["adv/feat_loss"] = adv_feat  # logged, weight 0 (base.yml quirk)
             logs["dec/loss"] = decoding_loss(
-                fwd_outs["detector_logits"], fwd_outs["mask"], msg
+                fwd_outs["detector_logits"], fwd_outs["mask"], msg,
+                bit_mask=bit_mask,
             )
             logs["loc/loss"] = localization_loss(
                 fwd_outs["locator_logits"], fwd_outs["mask"]
@@ -209,16 +211,19 @@ def make_train_step(
                 logs["dec/loss_clean"] = decoding_loss(
                     fwd_outs["detector_logits_clean"],
                     jnp.ones_like(fwd_outs["mask"]), msg,
+                    bit_mask=bit_mask,
                 )
                 total = total + (loss_cfg.lambda_dec_clean
                                  * logs["dec/loss_clean"])
             if loss_cfg.lambda_dec_bits > 0:
                 bits = decoding_loss_bits(
-                    fwd_outs["detector_logits"], fwd_outs["mask"], msg
+                    fwd_outs["detector_logits"], fwd_outs["mask"], msg,
+                    bit_mask=bit_mask,
                 )
                 if loss_cfg.lambda_dec_clean > 0:
                     bits = bits + decoding_loss_bits(
-                        fwd_outs["detector_logits_clean"], None, msg
+                        fwd_outs["detector_logits_clean"], None, msg,
+                        bit_mask=bit_mask,
                     )
                 logs["dec/loss_bits"] = bits
                 total = total + loss_cfg.lambda_dec_bits * bits
@@ -275,6 +280,13 @@ def make_train_step(
             jax.nn.sigmoid(outs["locator_logits"]), outs["mask"],
             per_sample=True,
         )
+        # per-bit decision accuracy on the attacked path (time-mean logit
+        # vs message) — drives the host-side nbits curriculum and gives the
+        # sign-flip-lockstep signature (bits pinned below chance) live in
+        # the training log instead of only in post-hoc probes
+        z = jnp.mean(outs["detector_logits"], axis=1)  # [B, nbits]
+        per_bit_acc = jnp.mean(((z > 0) == (msg > 0.5)).astype(jnp.float32),
+                               axis=0)  # [nbits]
 
         metrics = {
             **logs,
@@ -285,6 +297,7 @@ def make_train_step(
             "train/miou": jnp.mean(per_sample_miou),
             "per_sample_ber": per_sample_ber,
             "per_sample_miou": per_sample_miou,
+            "per_bit_acc": per_bit_acc,
         }
         new_state = TrainState(
             step=state.step + 1,
@@ -322,7 +335,8 @@ def make_multi_train_step(
               percep_scale: Optional[jnp.ndarray] = None,
               train_disc: Optional[jnp.ndarray] = None,
               gen_update_scale: Optional[jnp.ndarray] = None,
-              msg_update_scale: Optional[jnp.ndarray] = None):
+              msg_update_scale: Optional[jnp.ndarray] = None,
+              bit_mask: Optional[jnp.ndarray] = None):
         # percep_scale (BER-gated ramp) and gen_update_scale (alternating
         # optimization) are held constant within the dispatch; the host
         # updates them between dispatches. train_disc must NOT be: the
@@ -339,7 +353,7 @@ def make_multi_train_step(
                 # the inner step folds `key` with st.step, which increments
                 # every iteration — each scanned step gets fresh randomness.
                 return step(st, a, m, i, key, percep_scale, None,
-                            gen_update_scale, msg_update_scale)
+                            gen_update_scale, msg_update_scale, bit_mask)
 
             return jax.lax.scan(body, state, (audios, msgs, idxs),
                                 length=steps_per_dispatch)
@@ -350,7 +364,7 @@ def make_multi_train_step(
         def body(st, inp):
             a, m, i, disc = inp
             return step(st, a, m, i, key, percep_scale, disc,
-                        gen_update_scale, msg_update_scale)
+                        gen_update_scale, msg_update_scale, bit_mask)
 
         return jax.lax.scan(body, state, (audios, msgs, idxs, disc_xs),
                             length=steps_per_dispatch)
