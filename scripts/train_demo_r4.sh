@@ -30,6 +30,24 @@
 # - everything else matches the r3 recipe (carrier modes, detector LR x10,
 #   clean-decode + bit-level aux losses; see train_demo_r3.sh for the
 #   batch/HBM and compile-host constraints).
+# MID-ROUND REVISION (phase-lock diagnosis, docs/TRAINING.md): the first
+# 1.7k steps proved the stationary carrier works — instantaneous identity
+# BER hit 0.023 by step 1000 (r3 never left 0.20) — but exposed that the
+# learned decode was PHASE-LOCKED to the hop-320 grid: accuracy 0.727
+# under any hop-multiple circular shift, 0.555 under a ONE-sample shift
+# (scripts: /tmp/probe_shift.log, checkpoints/demo_r4@1000). The seq
+# augmentation's p=0.4 full-range shift put those batches at chance and
+# the mean-EMA gates could never latch. Revision:
+# - sub_hop_jitter=true: EVERY detector/locator input rolls by a random
+#   0..319 samples — removes the phase-coherent shortcut entirely.
+# - warmup.msg_freeze_gate 0.05 -> 0.3: carriers unfreeze once the easy
+#   code exists (EMA is already 0.23) so the generator can reshape the
+#   code toward amplitude-coded (shift-invariant) structure; alternation
+#   still guards against the sign-flip lockstep.
+# - warmup.fx_gate 0.08 -> 0.15: attacks latch when the JITTERED clean
+#   code decodes at 0.15 mean, not before.
+# - warmup.ber_gate 0.05 -> 0.12: the perceptual squeeze starts once the
+#   attacked+jittered path decodes at 0.12 and pauses whenever it breaks.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -48,13 +66,14 @@ exec python -m waveverify_tpu.train \
   --max-steps "$STEPS" \
   --log-every 50 \
   --set train_duration=0.9 \
+  --set sub_hop_jitter=true \
   --set warmup.steps=6000 --set warmup.init_scale=0.01 \
-  --set warmup.ber_gate=0.05 \
-  --set warmup.fx_gate=0.08 \
+  --set warmup.ber_gate="${BER_GATE:-0.12}" \
+  --set warmup.fx_gate="${FX_GATE:-0.15}" \
   --set warmup.disc_every=4 \
   --set warmup.alt_period="${ALT_PERIOD:-800}" \
   --set warmup.alt_gen_frac="${ALT_GEN_FRAC:-0.25}" \
-  --set warmup.msg_freeze_gate="${MSG_FREEZE_GATE:-0.05}" \
+  --set warmup.msg_freeze_gate="${MSG_FREEZE_GATE:-0.3}" \
   --set valid_freq=1000 \
   --set sample_freq=10000 \
   --set Generator.film_gamma_bias=1.0 \

@@ -48,6 +48,7 @@ ALL_EFFECTS = [
     ("smooth", {"window_size": 5}),
     ("random_equalization", {}),
     ("codec_proxy", {}),
+    ("time_shift", {"shift": 161}),
 ]
 
 
@@ -486,3 +487,74 @@ def test_encodec_proxy_fallback_warns_and_tags(monkeypatch, caplog):
     assert AudioEffects.encodec_last_was_proxy is True
     assert any("PROXY" in r.message for r in caplog.records)
     assert np.asarray(y).shape == (1, 2000)
+
+
+def test_time_shift_rolls_audio_and_mask_together():
+    import jax.numpy as jnp
+
+    from waveverify_tpu.effects.effects import AudioEffects
+
+    b, t = 2, 1000
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(b, t).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, t) > 0.5).astype(np.float32))
+    out, m = AudioEffects.time_shift(audio, mask, None, shift=161)
+    assert np.allclose(np.asarray(out), np.roll(np.asarray(audio), 161, -1))
+    assert np.allclose(np.asarray(m), np.roll(np.asarray(mask), 161, -1))
+
+
+def test_sub_hop_jitter_forward():
+    """TrainConfig.sub_hop_jitter: the composite forward runs, keeps
+    shapes, and actually moves the detector input (different jitter keys
+    give different attacked-path logits for identical audio)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveverify_tpu.config import (DetectorConfig, GeneratorConfig,
+                                       LocatorConfig, TrainConfig)
+    from waveverify_tpu.effects.effects import EffectBank
+    from waveverify_tpu.train.watermarking import (WatermarkModels,
+                                                   forward_train)
+
+    SMALL = dict(dimension=32, channels_enc=8, kernel_size=5,
+                 last_kernel_size=5, residual_kernel_size=5, dilation_base=1,
+                 skip="identity", causal=True, encoder_l2norm=True, bias=True,
+                 spec_compression="log", zero_init=False)
+    cfg = TrainConfig(
+        generator=GeneratorConfig(channels_dec=12, n_residual_enc=1,
+                                  n_residual_dec=1, **SMALL),
+        detector=DetectorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        locator=LocatorConfig(n_residual_enc=1, output_dim=8, **SMALL),
+        sub_hop_jitter=True,
+    )
+    models = WatermarkModels.from_config(cfg)
+    from waveverify_tpu.train.state import create_train_state
+
+    b, t = 2, 3200
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models,
+                               example_length=t)
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(b, t).astype(np.float32) * 0.1)
+    msg = jnp.asarray(rng.randint(0, 2, (b, 16)).astype(np.float32))
+    bank = EffectBank([("identity", {})])
+    idx = jnp.zeros((b,), jnp.int32)
+    hop = cfg.generator.hop_length
+
+    def run(seed):
+        return forward_train(models, state.wm_params, jax.random.PRNGKey(seed),
+                             audio, msg, idx, bank, remat=False,
+                             clean_detector=True, jitter_hop=hop)
+
+    o1, o2 = run(1), run(2)
+    assert o1["detector_logits"].shape == (b, t, 16)
+    assert o1["mask"].shape == (b, t)
+    # different keys -> different sub-hop placements -> different logits
+    assert not np.allclose(np.asarray(o1["detector_logits_clean"]),
+                           np.asarray(o2["detector_logits_clean"]))
+    # jitter off reproduces the un-jittered forward deterministically
+    a = forward_train(models, state.wm_params, jax.random.PRNGKey(1), audio,
+                      msg, idx, bank, remat=False, jitter_hop=0)
+    bb = forward_train(models, state.wm_params, jax.random.PRNGKey(1), audio,
+                       msg, idx, bank, remat=False, jitter_hop=0)
+    assert np.allclose(np.asarray(a["detector_logits"]),
+                       np.asarray(bb["detector_logits"]))

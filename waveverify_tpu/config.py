@@ -371,6 +371,19 @@ class TrainConfig:
     # doubles the emitted HLO — turn off on compile-memory-limited hosts
     # when the batch fits without it)
     remat: bool = True
+    # Sub-hop shift jitter (training-side improvement, default off =
+    # reference parity). Rolls every detector/locator input by a per-sample
+    # random 0..hop-1 samples AFTER augmentation+attacks (mask rolled
+    # identically; the clean-decode path jitters too). Rationale
+    # (measured, round 3): with hop-aligned training inputs the detector
+    # converges to a PHASE-COHERENT decode of the carrier code — accuracy
+    # 0.727 at any hop-multiple circular shift but 0.555 at a ONE-SAMPLE
+    # shift. The sequence augmentation's full-range shift (p=0.4 of
+    # batches) provides pressure but lets 60% of batches reward the
+    # phase-locked shortcut; jittering EVERY batch removes the shortcut so
+    # the detector must learn sub-hop shift-invariant (non-coherent /
+    # amplitude-based) decoding — which real-world cropping requires.
+    sub_hop_jitter: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +542,7 @@ def load_config(path: Union[str, Path, None] = None,
     top: Dict[str, Any] = {}
     for k in ("batch_size", "val_batch_size", "num_iters", "valid_freq",
               "sample_freq", "seed", "train_duration", "val_duration",
-              "remat"):
+              "remat", "sub_hop_jitter"):
         if k in raw:
             top[k] = raw[k]
 

@@ -249,6 +249,23 @@ class AudioEffects:
         return audio * scale, mask
 
     @staticmethod
+    def time_shift(audio, mask=None, key=None, shift: int = 160, **kw):
+        """Circular shift by ``shift`` samples (mask shifted identically).
+
+        TPU-build extension (no reference effect-catalog counterpart; the
+        reference applies circular shifts only as a training transform,
+        seq_augmentation.py:154-259). As an *evaluation* effect it measures
+        placement/cropping robustness — in particular sub-hop shifts
+        (shift % 320 != 0), which defeat a phase-locked decode while
+        leaving hop-aligned metrics perfect (measured: acc 0.727 at any
+        hop multiple vs 0.555 at a 1-sample shift on a phase-locked
+        checkpoint). jit-friendly static roll."""
+        out = jnp.roll(audio, int(shift), axis=-1)
+        if mask is not None:
+            mask = jnp.roll(mask, int(shift), axis=-1)
+        return out, mask
+
+    @staticmethod
     def quantization(audio, mask=None, key=None, bit_depth: int = 8, **kw):
         """Bit-depth reduction with straight-through gradient
         (reference _QuantizationSTE :1081-1125)."""

@@ -32,6 +32,11 @@ EVAL_SINGLE = [
     ("lowpass_filter", {"cutoff_freq": 2000}),
     ("bandpass_filter", {"cutoff_freq_low": 300, "cutoff_freq_high": 4000}),
     ("random_noise", {"noise_std": 0.001}),
+    # TPU-build extension row (not in the reference table): sub-hop
+    # circular shift. A phase-locked decode reads perfectly on every other
+    # row (all hop-aligned) and at chance here — real-world cropping makes
+    # this a required capability, so the sweep measures it explicitly.
+    ("time_shift", {"shift": 161}),
 ]
 # combined effects (reference README.md:204-208)
 EVAL_COMBINED = [

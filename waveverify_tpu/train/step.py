@@ -101,6 +101,8 @@ def make_train_step(
                 sample_rate=sr, window_duration=cfg.window_duration,
                 remat=cfg.remat,
                 clean_detector=loss_cfg.lambda_dec_clean > 0,
+                jitter_hop=(cfg.generator.hop_length
+                            if cfg.sub_hop_jitter else 0),
             )
 
         outs, fwd_vjp = jax.vjp(fwd, state.wm_params)

@@ -88,6 +88,7 @@ def forward_train(
     window_duration: float = 0.1,
     remat: bool = True,
     clean_detector: bool = False,
+    jitter_hop: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Training-phase forward (reference model/watermarking.py:340-421).
 
@@ -103,7 +104,21 @@ def forward_train(
       locator_logits  [B, T]
       updated_original [B, T]
     """
-    k_loc, k_seq, k_fx = jax.random.split(key, 3)
+    k_loc, k_seq, k_fx, k_jit, k_jit_clean = jax.random.split(key, 5)
+
+    def _sub_hop_roll(k, x, m=None):
+        """Per-sample circular roll by 0..jitter_hop-1 samples
+        (TrainConfig.sub_hop_jitter): removes the hop-grid phase-lock
+        shortcut — the detector must decode the carrier non-coherently,
+        which real-world cropping requires. Differentiable gather, so the
+        generator also learns placement-invariant codes."""
+        b, t = x.shape
+        r = jax.random.randint(k, (b,), 0, jitter_hop)
+        idx = (jnp.arange(t)[None, :] - r[:, None]) % t
+        x = jnp.take_along_axis(x, idx, axis=1)
+        if m is None:
+            return x
+        return x, jnp.take_along_axis(m, idx, axis=1)
 
     # Rematerialization: the three network applies re-run in the backward
     # pass instead of storing every intermediate activation — the B=32
@@ -132,6 +147,8 @@ def forward_train(
             k_seq, augmented, updated_original, mask, sample_rate
         )
         fx_audio, mask = bank.apply(augmented, mask, effect_idx, k_fx)
+        if jitter_hop > 0:
+            fx_audio, mask = _sub_hop_roll(k_jit, fx_audio, mask)
         return fx_audio, mask, updated_original
 
     if remat:
@@ -148,8 +165,11 @@ def forward_train(
     if clean_detector:
         # un-augmented, un-attacked read path (LossConfig.lambda_dec_clean):
         # watermark present everywhere, so the loss target is the message
-        # broadcast over all frames
-        clean_logits = apply_det(wm_params["detector"], watermarked)
+        # broadcast over all frames (a roll changes no target; it only
+        # removes the hop-phase shortcut)
+        clean_in = (_sub_hop_roll(k_jit_clean, watermarked)
+                    if jitter_hop > 0 else watermarked)
+        clean_logits = apply_det(wm_params["detector"], clean_in)
         return {
             "residual": residual,
             "watermarked": watermarked,
