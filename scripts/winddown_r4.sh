@@ -60,13 +60,6 @@ timeout 1200 python -m waveverify_tpu.eval \
   --json-out weights/demo_eval_sweep_r4_bf16act.json \
   || echo "BF16-ACT SWEEP FAILED rc=$?"
 
-echo "== r4 sweep (one-pass bf16 MXU — conv-precision study) =="
-timeout 1200 python -m waveverify_tpu.eval \
-  --checkpoint "$OUT" --batch 16 --duration 5.0 \
-  --conv-precision default \
-  --json-out weights/demo_eval_sweep_r4_bf16.json \
-  || echo "BF16-MXU SWEEP FAILED rc=$?"
-
 echo "== r2 re-sweep (retire the misconfigured artifact) =="
 timeout 1200 python -m waveverify_tpu.eval \
   --checkpoint weights/waveverify_demo.npz --batch 16 --duration 5.0 \
@@ -86,7 +79,7 @@ timeout 900 python scripts/profile_serving.py --batch 64 --iters 10 \
 tail -5 /tmp/profile_serving_bf16.log || true
 
 echo "== dispatch bench (TPU) =="
-timeout 900 python benchmarks/effect_dispatch_bench.py --iters 20 \
+timeout 900 python benchmarks/effect_dispatch_bench.py --iters 10 \
   | tee /tmp/dispatch_bench_tpu.log || echo "DISPATCH BENCH FAILED rc=$?"
 
 echo "== dryrun cache warm =="
