@@ -53,6 +53,17 @@ timeout 1500 python -m waveverify_tpu.eval \
   --json-out weights/demo_eval_sweep_r4.json \
   || echo "R4 SWEEP FAILED rc=$?"
 
+echo "== bench (bf16 headline) =="
+timeout 900 python bench.py | tee /tmp/bench_bf16.log || echo "BENCH FAILED rc=$?"
+
+echo "== bench (f32 comparison) =="
+timeout 900 python bench.py --dtype float32 | tee /tmp/bench_f32.log \
+  || echo "BENCH F32 FAILED rc=$?"
+
+echo "== dryrun cache warm =="
+timeout 500 python __graft_entry__.py 8 >/tmp/dryrun_final.log 2>&1 \
+  && echo "dryrun OK" || echo "DRYRUN FAILED rc=$?"
+
 echo "== r4 sweep (bf16 activations — serve-dtype study) =="
 timeout 1200 python -m waveverify_tpu.eval \
   --checkpoint "$OUT" --batch 16 --duration 5.0 \
@@ -66,12 +77,6 @@ timeout 1200 python -m waveverify_tpu.eval \
   --json-out weights/demo_eval_sweep_r2_corrected.json \
   || echo "R2 RESWEEP FAILED rc=$?"
 
-echo "== bench (bf16 headline) =="
-timeout 900 python bench.py | tee /tmp/bench_bf16.log || echo "BENCH FAILED rc=$?"
-echo "== bench (f32 comparison) =="
-timeout 900 python bench.py --dtype float32 | tee /tmp/bench_f32.log \
-  || echo "BENCH F32 FAILED rc=$?"
-
 echo "== serving profile (bf16) =="
 timeout 900 python scripts/profile_serving.py --batch 64 --iters 10 \
   --dtype bfloat16 > /tmp/profile_serving_bf16.log 2>&1 \
@@ -81,9 +86,5 @@ tail -5 /tmp/profile_serving_bf16.log || true
 echo "== dispatch bench (TPU) =="
 timeout 900 python benchmarks/effect_dispatch_bench.py --iters 10 \
   | tee /tmp/dispatch_bench_tpu.log || echo "DISPATCH BENCH FAILED rc=$?"
-
-echo "== dryrun cache warm =="
-timeout 500 python __graft_entry__.py 8 >/tmp/dryrun_final.log 2>&1 \
-  && echo "dryrun OK" || echo "DRYRUN FAILED rc=$?"
 
 echo "== winddown done =="
