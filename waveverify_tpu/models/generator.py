@@ -139,7 +139,10 @@ class Generator(nn.Module):
                                 keepdims=True) + 1e-12)
         rms = jax.lax.stop_gradient(rms)
         off = (s @ jnp.asarray(c.T))[:, None, :]  # [B, 1, dim]
-        return latent + g.latent_carrier_gain * rms * off
+        # conditioning math runs f32; cast at the add so the latent stream
+        # keeps its dtype (bf16-serving leak fix, docs/SERVING_PERF.md)
+        return latent + (g.latent_carrier_gain * rms * off).astype(
+            latent.dtype)
 
     def __call__(self, audio: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
         if audio.ndim == 2:  # accept [B, T]

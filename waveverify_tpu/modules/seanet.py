@@ -124,7 +124,13 @@ class FiLM(nn.Module):
             # _film_carrier and GeneratorConfig.film_carrier_gain)
             gamma = gamma + offsets[:, 0:1]
             beta = beta + offsets[:, 1:2]
-        # x: [B, T, C_band]; gamma/beta: [B, 1]
+        # x: [B, T, C_band]; gamma/beta: [B, 1]. The conditioning math runs
+        # f32 (tiny tensors); cast at the modulation so the [B, T, C]
+        # activation stream keeps ITS dtype — without this, bf16 serving
+        # silently upcasts the whole network at the first FiLM site
+        # (docs/SERVING_PERF.md dtype-leak study).
+        gamma = gamma.astype(x.dtype)
+        beta = beta.astype(x.dtype)
         return x * gamma[:, None, :] + beta[:, None, :]
 
 
@@ -283,7 +289,7 @@ class SEANetResnetBlock(nn.Module):
 
             if (
                 pallas_enabled()
-                and x.dtype == jnp.float32
+                and x.dtype in (jnp.float32, jnp.bfloat16)
                 and can_fuse(x.shape[1], x.shape[2], self.kernel_size)
             ):
                 fp = self._fused_params()
@@ -421,7 +427,8 @@ class SpecBlock(nn.Module):
         scale = 1.0 if self.res_scale is None else self.res_scale
         if self.zero_init:
             scale_param = self.param("scale_param", nn.initializers.zeros, (1,))
-            return x + y * (scale_param * scale)
+            # f32 param cast to the stream dtype (bf16-serving leak fix)
+            return x + y * (scale_param.astype(y.dtype) * scale)
         return x + y * scale
 
 

@@ -268,4 +268,9 @@ def fused_resblock(x: jnp.ndarray, pw1, dw1, b1, pw2, dw2, b2, *, k: int,
     """Public entry: fused SEANet residual block (see module docstring)."""
     fn = make_fused_resblock(k, dilations[0], dilations[1], float(prescale),
                              float(res_scale), float(alpha), interpret)
-    return fn(x, pw1, dw1, b1, pw2, dw2, b2)
+    # weights follow the activation dtype (bf16 serving): mixed-dtype dots
+    # don't lower in Mosaic, and f32 weights would silently upcast the
+    # VMEM-resident slab; matmul accumulation stays f32 either way
+    # (preferred_element_type in the kernel body).
+    w = [a.astype(x.dtype) for a in (pw1, dw1, b1, pw2, dw2, b2)]
+    return fn(x, *w)
