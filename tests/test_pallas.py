@@ -161,3 +161,33 @@ def test_pallas_mode_switch():
     assert pk.pallas_enabled()
     with pytest.raises(ValueError):
         pk.set_pallas_mode("sometimes")
+
+
+def test_fused_resblock_bf16_inputs():
+    """bf16 serving path: the kernel takes bf16 loads, computes
+    f32-internally (Mosaic bf16-cmpf limitation), and returns bf16 that
+    tracks the f32 result within bf16 tolerance."""
+    rng = np.random.RandomState(2)
+    x32 = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32) * 0.3)
+    m = _block()
+    params = m.init(jax.random.PRNGKey(0), x32)
+
+    pk.set_pallas_mode("off")
+    y_ref = np.asarray(m.apply(params, x32))
+
+    orig = pk._pallas_forward
+    try:
+        pk.make_fused_resblock.cache_clear()
+        pk._pallas_forward = lambda *a, interpret, **kw: orig(
+            *a, interpret=True, **kw
+        )
+        pk.set_pallas_mode("on")
+        y16 = np.asarray(m.apply(params, x32.astype(jnp.bfloat16)))
+    finally:
+        pk._pallas_forward = orig
+        pk.make_fused_resblock.cache_clear()
+
+    assert y16.dtype == jnp.bfloat16
+    # bf16 mantissa ~ 8 bits: tolerance scales with output magnitude
+    scale = np.abs(y_ref).max()
+    assert np.abs(y16.astype(np.float32) - y_ref).max() < 0.02 * scale + 1e-3

@@ -287,14 +287,13 @@ class SEANetResnetBlock(nn.Module):
                 pallas_enabled,
             )
 
-            # f32 only: Mosaic on this target cannot lower bf16 vector
-            # comparisons (measured: "Target does not support this
-            # comparison" on arith.cmpf bf16 from the kernel's ELU/where) —
-            # bf16 serving uses the plain-XLA resblock until the kernel
-            # computes f32-internally from bf16 VMEM loads.
+            # bf16 inputs supported: the kernel loads bf16 (halved
+            # HBM<->VMEM transfer) and computes f32-internally — Mosaic on
+            # this target cannot lower bf16 vector comparisons, so the
+            # ELU/where arithmetic must be f32 regardless.
             if (
                 pallas_enabled()
-                and x.dtype == jnp.float32
+                and x.dtype in (jnp.float32, jnp.bfloat16)
                 and can_fuse(x.shape[1], x.shape[2], self.kernel_size)
             ):
                 fp = self._fused_params()

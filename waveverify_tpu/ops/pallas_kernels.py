@@ -167,23 +167,28 @@ def _resblock_kernel(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
     j = pl.program_id(1)
-    xm = xm_ref[0]  # [t_tile, C] current tile
+    # bf16 serving: refs may be bf16 (halved HBM<->VMEM transfer); ALL
+    # in-kernel arithmetic upcasts to f32 — Mosaic on this target cannot
+    # lower bf16 vector comparisons (the ELU/where cmpf), and f32
+    # accumulation is wanted anyway. Stores downcast at out_ref.
+    f32 = jnp.float32
+    xm = xm_ref[0].astype(f32)  # [t_tile, C] current tile
     # history: last `halo` rows of the previous tile; zeros for tile 0
     # (== SConv1d's causal zero padding at the sequence start)
-    hist = xp_ref[0, -halo:, :]
+    hist = xp_ref[0, -halo:, :].astype(f32)
     hist = jnp.where(j == 0, jnp.zeros_like(hist), hist)
     xx = jnp.concatenate([hist, xm], axis=0)  # [halo + t_tile, C]
 
     u = _elu(xx * prescale, alpha)
-    u = dot(u, pw1_ref[:])  # pw has no bias: zero history stays zero
-    u = _causal_dw(u, dw1_ref[:], b1_ref[:], k, d1)
+    u = dot(u, pw1_ref[:].astype(f32))  # pw has no bias: zero history stays 0
+    u = _causal_dw(u, dw1_ref[:].astype(f32), b1_ref[:].astype(f32), k, d1)
     # dw1's bias leaks into the t<0 history rows of tile 0; the true dw2
     # input there is the causal zero pad — mask them back to zero
     row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
     u = jnp.where((j == 0) & (row < halo), jnp.zeros_like(u), u)
     u = _elu(u, alpha)
-    u = dot(u, pw2_ref[:])
-    u = _causal_dw(u, dw2_ref[:], b2_ref[:], k, d2)
+    u = dot(u, pw2_ref[:].astype(f32))
+    u = _causal_dw(u, dw2_ref[:].astype(f32), b2_ref[:].astype(f32), k, d2)
     out_ref[0] = (u[halo:] * res_scale + xm).astype(out_ref.dtype)
 
 
