@@ -644,6 +644,10 @@ DEFAULT_TRAIN_EFFECTS: List[Tuple[str, Dict]] = [
 
 DEFAULT_EVAL_EFFECTS: List[Tuple[str, Dict]] = [
     ("identity", {}),
+    # TPU-build extension row (matches conf/effects_config.yml): sub-hop
+    # circular shift — keeps shift robustness visible in every val sweep
+    # (a hop-phase-locked decode reads chance here; docs/TRAINING.md)
+    ("time_shift", {"shift": 161}),
     ("resample", {"new_sample_rate": 32000}),
     ("speed", {"speed": 0.8}),
     ("random_noise", {"noise_std": 0.001}),
