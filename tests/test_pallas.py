@@ -14,8 +14,10 @@ from waveverify_tpu.modules.seanet import SEANetResnetBlock
 
 @pytest.fixture(autouse=True)
 def _reset_mode():
+    layout = pk._PALLAS_LAYOUT
     yield
     pk.set_pallas_mode("auto")
+    pk.set_pallas_layout(layout)
 
 
 def _block(dim=16, k=5, res_scale=0.577, idx=1, bias=True):
@@ -136,6 +138,47 @@ def test_tiled_kernel_matches_single_tile():
     finally:
         pk.VMEM_BUDGET_BYTES = budget
     np.testing.assert_allclose(y_tiled, y_ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["btc", "tbc"])
+def test_layout_variants_match_xla_multi_tile(layout):
+    """Both kernel data layouts (docs/SERVING_PERF.md Lever 2) must produce
+    identical results under multi-tile grids, including a batch that is not
+    a sublane multiple."""
+    rng = np.random.RandomState(11)
+    c, k, t, b = 32, 5, 512, 3  # b=3: not a multiple of 8
+    x = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 0.3)
+    ws = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+          for s in [(c, c), (k, c), (c,), (c, c), (k, c), (c,)]]
+    statics = dict(k=k, d1=1, d2=1, prescale=0.9, res_scale=0.577, alpha=1.0)
+    y_ref = np.asarray(pk._resblock_xla(x, *ws, **statics))
+
+    budget = pk.VMEM_BUDGET_BYTES
+    try:
+        pk.VMEM_BUDGET_BYTES = 1024 * 1024  # force several tiles
+        pk.set_pallas_layout(layout)
+        if layout == "tbc":
+            tt = pk.choose_t_tile_tbc(t, b, c, k)
+            assert tt is not None and tt < t  # actually tiled
+        y = np.asarray(pk._pallas_forward(x, *ws, interpret=True, **statics))
+    finally:
+        pk.VMEM_BUDGET_BYTES = budget
+    np.testing.assert_allclose(y, y_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_tbc_falls_back_to_btc_tiling():
+    """When the whole-batch [t_tile, B, C] slab cannot fit VMEM (huge B),
+    the tbc layout must fall back to the per-sample btc tiling, not XLA."""
+    assert pk.choose_t_tile_tbc(16000, 4096, 64, 5) is None
+    assert pk.choose_t_tile(16000, 64, 5) is not None
+
+
+def test_pallas_layout_switch():
+    pk.set_pallas_layout("btc")
+    assert pk._PALLAS_LAYOUT == "btc"
+    pk.set_pallas_layout("tbc")
+    with pytest.raises(ValueError):
+        pk.set_pallas_layout("ctb")
 
 
 def test_eligibility_gating():

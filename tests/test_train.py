@@ -687,6 +687,50 @@ def test_ber_gated_ramp_fx_latch():
     assert off.attacks_on() and off.scale() == pytest.approx(0.01)
 
 
+def test_ber_gated_ramp_msg_refreeze():
+    """Lockstep-triggered re-freeze (warmup_msg_refreeze): after the freeze
+    latch opens, an ACTIVE bit whose accuracy EMA pins below chance (<0.45)
+    re-freezes the msg path; it thaws once all active bits recover (>0.55).
+    Inactive (curriculum-masked) bits never trigger it."""
+    from waveverify_tpu.train.loop import BerGatedRamp
+
+    ramp = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05, beta=0.0,
+                        msg_freeze_gate=0.2, msg_refreeze=True, nbits=4)
+    good = np.array([1.0, 1.0, 1.0, 1.0])
+    assert not ramp.msg_on()  # freeze latch not yet open
+    ramp.update(0.1, per_bit_acc=good, n_active=4)  # EMA crosses the gate
+    assert ramp.msg_on()
+
+    # an inactive below-chance bit must NOT refreeze (bit 3 masked out)
+    ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.1]), n_active=3)
+    assert ramp.msg_on()
+    # the same bit active -> lockstep signature -> refreeze
+    ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.1]), n_active=4)
+    assert not ramp.msg_on() and ramp.msg_latched  # latch stays open
+
+    # hysteresis: 0.5 is not enough to thaw, >0.55 is
+    ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.5]), n_active=4)
+    assert not ramp.msg_on()
+    ramp.update(0.1, per_bit_acc=good, n_active=4)
+    assert ramp.msg_on()
+
+    # state round-trips, including the refrozen flag and the per-bit EMA
+    ramp.update(0.1, per_bit_acc=np.array([0.1, 1.0, 1.0, 1.0]), n_active=4)
+    assert not ramp.msg_on()
+    other = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05, beta=0.0,
+                         msg_freeze_gate=0.2, msg_refreeze=True, nbits=4)
+    other.load_state_dict(ramp.state_dict())
+    assert not other.msg_on() and other.msg_latched
+    assert np.allclose(other.bit_acc_ema, ramp.bit_acc_ema)
+
+    # refreeze disabled (default): below-chance bits never freeze anything
+    plain = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05, beta=0.0,
+                         msg_freeze_gate=0.2, nbits=4)
+    plain.update(0.1, per_bit_acc=good, n_active=4)
+    plain.update(0.1, per_bit_acc=np.array([0.1, 0.1, 0.1, 0.1]), n_active=4)
+    assert plain.msg_on()
+
+
 @pytest.mark.slow
 def test_train_loop_fx_gate(tmp_path):
     """Loop-level attack curriculum: while the latch is open every scheduled

@@ -281,8 +281,20 @@ class LossConfig:
     # the latch compares against the same EMA the fx latch resets to 0.5
     # on attack onset — set this BELOW warmup_fx_gate to keep carriers
     # frozen until the ATTACKED code also decodes. Requires
-    # warmup_ber_gate. 0 = off.
+    # warmup_ber_gate. 0 = off. EXACT zero updates while frozen also
+    # relies on AdamW.decay_exclude_msg_path=true (the default): with it
+    # false, optax.adamw's decoupled weight-decay term still moves
+    # msg_*/film_* params every step despite zeroed gradients.
     warmup_msg_freeze_gate: float = 0.0
+    # Lockstep-triggered msg-path RE-freeze (VERDICT r3 weak #1; requires
+    # warmup_ber_gate). After the freeze latch above opens, joint updates
+    # can re-enter the per-bit sign-flip lockstep — live signature: a bit's
+    # decision-accuracy EMA pinned BELOW chance (4 bits < 0.4 on the r4 run
+    # 4k steps post-unfreeze). When true, msg-path updates re-freeze while
+    # any active bit's acc EMA < 0.45 and thaw when all recover > 0.55:
+    # against a stationary code the detector fixes an inverted bit by
+    # flipping its readout, which joint updates never converge to.
+    warmup_msg_refreeze: bool = False
     # nbits curriculum (VERDICT r2 priority 1c). When > 0, the decoding
     # losses are masked to the first N bits (host-fed traced [nbits]
     # weight vector — no recompiles); N starts at warmup_nbits_start and
@@ -517,6 +529,8 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_alt_gen_frac"] = float(warm["alt_gen_frac"])
     if "msg_freeze_gate" in warm:
         loss_kwargs["warmup_msg_freeze_gate"] = float(warm["msg_freeze_gate"])
+    if "msg_refreeze" in warm:
+        loss_kwargs["warmup_msg_refreeze"] = bool(warm["msg_refreeze"])
     if "nbits_start" in warm:
         loss_kwargs["warmup_nbits_start"] = int(warm["nbits_start"])
     if "nbits_gate" in warm:

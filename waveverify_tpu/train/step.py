@@ -24,6 +24,7 @@ second forward, no host sync.
 from __future__ import annotations
 
 import functools
+from collections.abc import Mapping
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -259,7 +260,10 @@ def make_train_step(
             s = jnp.asarray(msg_update_scale, jnp.float32)
 
             def _scale_msg(tree, in_msg=False):
-                if isinstance(tree, dict):
+                # Mapping (not dict) so FrozenDict/Mapping param trees are
+                # walked too — matches train/state.py's decay_mask predicate
+                # (a dict-only walk would silently skip the freeze there)
+                if isinstance(tree, Mapping):
                     return {
                         k: _scale_msg(v, in_msg
                                       or k.startswith(("msg_", "film_")))
@@ -282,13 +286,24 @@ def make_train_step(
             jax.nn.sigmoid(outs["locator_logits"]), outs["mask"],
             per_sample=True,
         )
-        # per-bit decision accuracy on the attacked path (time-mean logit
-        # vs message) — drives the host-side nbits curriculum and gives the
+        # per-bit decision accuracy on the attacked path — drives the
+        # host-side nbits curriculum, the gate controllers, and gives the
         # sign-flip-lockstep signature (bits pinned below chance) live in
-        # the training log instead of only in post-hoc probes
-        z = jnp.mean(outs["detector_logits"], axis=1)  # [B, nbits]
-        per_bit_acc = jnp.mean(((z > 0) == (msg > 0.5)).astype(jnp.float32),
-                               axis=0)  # [nbits]
+        # the training log instead of only in post-hoc probes. Computed from
+        # the MASK-WEIGHTED time-mean logit (the same decision quantity
+        # decoding_loss_bits optimizes and metrics.ber thresholds): ~20% of
+        # frames are unwatermarked (localization augmentation) and trained
+        # toward logit 0, so an unmasked mean biases 1-bits' logit downward
+        # and can stall the curriculum even when the masked decode is
+        # perfect (ADVICE r3).
+        pm = outs["mask"][:, :, None]  # [B, T, 1]
+        denom = jnp.sum(pm, axis=1)  # [B, 1]
+        z = (jnp.sum(outs["detector_logits"] * pm, axis=1)
+             / jnp.maximum(denom, 1.0))  # [B, nbits]
+        valid = (denom > 0).astype(jnp.float32)  # [B, 1]
+        correct = ((z > 0) == (msg > 0.5)).astype(jnp.float32) * valid
+        per_bit_acc = (jnp.sum(correct, axis=0)
+                       / jnp.maximum(jnp.sum(valid), 1.0))  # [nbits]
 
         metrics = {
             **logs,
