@@ -627,6 +627,41 @@ def test_reinit_msg_path_gating(tmp_path):
         "resume-from-checkpoint must not re-wipe the message path"
 
 
+@pytest.mark.slow
+def test_split_disc_step_matches_monolithic(setup):
+    """Split-program mode (VERDICT r3 task 5): disc_step followed by the
+    update_disc=False train step must reproduce the monolithic step — same
+    RNG streams, same disc-before-generator ordering — to float tolerance,
+    over multiple steps."""
+    from waveverify_tpu.train.step import make_disc_step
+
+    cfg, models, state, audio, msg, idx = setup
+    mono = jax.jit(make_train_step(models, cfg, SMALL_BANK))
+    disc = jax.jit(make_disc_step(models, cfg))
+    gen = jax.jit(make_train_step(models, cfg, SMALL_BANK,
+                                  update_disc=False))
+    key = jax.random.PRNGKey(42)
+
+    s_m, s_s = state, state
+    for _ in range(2):
+        s_m, m_m = mono(s_m, audio, msg, idx, key)
+        s_s, m_d = disc(s_s, audio, msg, key)
+        s_s, m_g = gen(s_s, audio, msg, idx, key)
+        assert np.allclose(float(m_m["adv/disc_loss"]),
+                           float(m_d["adv/disc_loss"]), atol=1e-4)
+        assert np.allclose(float(m_m["loss"]), float(m_g["loss"]),
+                           rtol=1e-4, atol=1e-4)
+        assert float(m_g["adv/disc_loss"]) == 0.0  # gen half reports zeros
+    for a, b in zip(jax.tree_util.tree_leaves(s_m.wm_params),
+                    jax.tree_util.tree_leaves(s_s.wm_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_m.disc_params),
+                    jax.tree_util.tree_leaves(s_s.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
 def test_ber_gated_ramp_controller():
     """Host-side BerGatedRamp: holds while BER EMA is above the gate,
     advances while at/below it, never regresses, round-trips its state."""

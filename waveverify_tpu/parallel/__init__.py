@@ -19,6 +19,7 @@ from waveverify_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
     shard_batch,
+    shard_disc_step,
     shard_train_step,
 )
 
@@ -28,6 +29,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_disc_step",
     "shard_train_step",
     "initialize_distributed",
 ]

@@ -101,6 +101,21 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     )
 
 
+def shard_disc_step(disc_step: Callable, mesh: Mesh,
+                    donate_state: bool = True) -> Callable:
+    """jit the discriminator half of the split-program mode
+    (train/step.py make_disc_step): state replicated + donated, batch
+    tensors sharded on the data axis, PRNG key replicated."""
+    repl = replicated_sharding(mesh)
+    batch = batch_sharding(mesh)
+    return jax.jit(
+        disc_step,
+        in_shardings=(repl, batch, batch, repl),
+        out_shardings=None,
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
 def shard_multi_step(multi_step: Callable, mesh: Mesh,
                      donate_state: bool = True,
                      with_percep_scale: bool = False,

@@ -53,6 +53,13 @@ def main() -> None:
                     "Needed because remote-TPU sitecustomize hooks may pin "
                     "jax_platforms via jax.config, which overrides the "
                     "JAX_PLATFORMS env var; also honors WAVEVERIFY_PLATFORM")
+    ap.add_argument("--split-disc", action="store_true",
+                    help="compile the discriminator update (with its "
+                    "second-order gradient-penalty graph) as its own XLA "
+                    "program — each program is ~half the monolithic HLO, "
+                    "fitting remat/Pallas under memory-tight compile "
+                    "services (semantics identical; one extra no-grad "
+                    "generator forward on disc-training steps)")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable forward rematerialization (smaller HLO / "
                     "faster compile, higher HBM; use with smaller batches)")
@@ -179,6 +186,7 @@ def main() -> None:
         effect_dispatch=args.effect_dispatch,
         init_weights=args.init_weights,
         reinit_msg_path=args.reinit_msg_path,
+        split_disc_step=args.split_disc,
     )
     train(cfg, trainer, max_steps=args.max_steps, resume=args.resume)
 

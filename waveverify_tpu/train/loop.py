@@ -435,6 +435,15 @@ class TrainerConfig:
     # for reference parity, the default; "default" = one-pass bf16 — ~2x
     # conv throughput, run a BER-impact study before adopting)
     conv_precision: Optional[str] = None
+    # Split-program mode (VERDICT r3 task 5): the discriminator update
+    # (with its second-order gradient-penalty graph) compiles as its own
+    # XLA program and the train step excludes it — each program is roughly
+    # half the monolithic HLO, fitting remat/Pallas under compile services
+    # that OOM on the whole graph. Semantics are identical (same RNG
+    # streams, same disc-before-generator ordering); costs one extra
+    # no-grad generator forward on disc-training steps. K>1 dispatch is
+    # monolithic-only.
+    split_disc_step: bool = False
 
 
 def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
@@ -602,6 +611,14 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
     gen_scalar = alt or msg_freeze
     disc_gate = ((ramp is not None and cfg.loss.warmup_disc_every > 1)
                  or gen_scalar)
+    disc_fn = None
+    if trainer.split_disc_step:
+        if trainer.steps_per_dispatch > 1:
+            raise ValueError("split_disc_step requires steps_per_dispatch=1")
+        from waveverify_tpu.parallel import shard_disc_step
+        from waveverify_tpu.train.step import make_disc_step
+
+        disc_fn = shard_disc_step(make_disc_step(models, cfg), mesh)
     if trainer.steps_per_dispatch > 1:
         step_fn = shard_multi_step(
             make_multi_train_step(models, cfg, bank,
@@ -613,12 +630,14 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             with_bit_mask=nbits_on,
         )
     else:
-        step_fn = shard_train_step(make_train_step(models, cfg, bank), mesh,
-                                   with_percep_scale=ramp is not None,
-                                   with_train_disc=disc_gate,
-                                   with_gen_scale=gen_scalar,
-                                   with_msg_scale=msg_freeze,
-                                   with_bit_mask=nbits_on)
+        step_fn = shard_train_step(
+            make_train_step(models, cfg, bank,
+                            update_disc=disc_fn is None), mesh,
+            with_percep_scale=ramp is not None,
+            with_train_disc=disc_gate,
+            with_gen_scale=gen_scalar,
+            with_msg_scale=msg_freeze,
+            with_bit_mask=nbits_on)
     val_fn = jax.jit(
         make_val_step(models, cfg, eval_effects=list(fx_cfg.eval_effects))
     )
@@ -676,6 +695,7 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             profiling = False
 
         ramp_args = ((np.float32(ramp.scale()),) if ramp is not None else ())
+        disc_now = True  # whether the discriminator trains this step
         if disc_gate:
             # discriminator cadence: every step once the ramp is squeezing
             # (adversarial feedback now matters), every warmup.disc_every-th
@@ -685,9 +705,9 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             # program (make_multi_train_step) — a constant would train the
             # disc on all K steps of every gated dispatch.
             if K == 1:
-                ramp_args = ramp_args + (np.bool_(
-                    ramp.progress > 0.0
-                    or (step % cfg.loss.warmup_disc_every == 0)),)
+                disc_now = bool(ramp.progress > 0.0
+                                or (step % cfg.loss.warmup_disc_every == 0))
+                ramp_args = ramp_args + (np.bool_(disc_now),)
             else:
                 ramp_args = ramp_args + (np.asarray(
                     [ramp.progress > 0.0
@@ -749,8 +769,17 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
                 step_fn.lower(state, audio_d, msg_d, idx_d, key,
                               *ramp_args).compile()
                 _coordination_barrier("waveverify_pre_first_dispatch")
+            disc_metrics = None
+            if disc_fn is not None and disc_now:
+                # split-program mode: refresh the discriminator FIRST (the
+                # generator program's adversarial terms must see the updated
+                # ensemble — reference ordering, scripts/train.py:1248-1360)
+                state, disc_metrics = disc_fn(state, audio_d, msg_d, key)
             state, metrics = step_fn(state, audio_d, msg_d, idx_d, key,
                                      *ramp_args)
+            if disc_metrics is not None:
+                # the gen program reports zeros for the disc scalars
+                metrics = {**metrics, **disc_metrics}
             last_batch = (audio, msg)
         else:
             audios, msgs, idxs = [], [], []

@@ -62,12 +62,23 @@ def make_train_step(
     models: WatermarkModels,
     cfg: TrainConfig,
     bank: EffectBank,
+    update_disc: bool = True,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the (un-jitted) train step; callers jit/pjit it with their mesh.
 
     step(state, audio [B,T], msg [B,nbits], effect_idx [B] int32, key)
       -> (state', metrics dict incl. per-sample ber/miou for the scheduler).
+
+    ``update_disc=False`` builds the GENERATOR HALF of the split-program
+    mode (VERDICT r3 task 5; see :func:`make_disc_step`): the
+    discriminator update — and its second-order gradient-penalty graph —
+    is excluded from this program; ``state.disc_params`` is expected to
+    have been refreshed by the companion disc program this step. The
+    ``train_disc`` flag keeps its loss-gating role (adversarial terms are
+    skipped on disc-gated steps) but no longer triggers an update here.
+    Halving the program this way fits remat/Pallas under compile services
+    that OOM on the monolithic graph (docs/ROADMAP.md known constraints).
     """
     wm_tx, disc_tx = make_optimizers(cfg.optim)
     loss_cfg = cfg.loss
@@ -128,7 +139,13 @@ def make_train_step(
             disc_params = optax.apply_updates(state.disc_params, d_updates)
             return d_loss, d_grad_norm, disc_params, disc_opt_state
 
-        if train_disc is None:
+        if not update_disc:
+            # split mode: the disc program already refreshed state.disc_params
+            d_loss = jnp.float32(0.0)
+            d_grad_norm = jnp.float32(0.0)
+            disc_params = state.disc_params
+            disc_opt_state = state.disc_opt_state
+        elif train_disc is None:
             d_loss, d_grad_norm, disc_params, disc_opt_state = _disc_update(
                 None
             )
@@ -326,6 +343,63 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_disc_step(
+    models: WatermarkModels,
+    cfg: TrainConfig,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+              Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Discriminator half of the split-program mode (VERDICT r3 task 5).
+
+    disc_step(state, audio [B,T], msg [B,nbits], key) -> (state', metrics)
+
+    Runs ONLY the generator forward (no grad — the discriminator trains on
+    the detached residual, reference scripts/train.py:1464) and the
+    LSGAN + gradient-penalty discriminator update. This isolates the
+    second-order GP graph in its own XLA program; the companion generator
+    program (``make_train_step(..., update_disc=False)``) then sees the
+    freshly-updated discriminator through ``state.disc_params`` — the exact
+    reference ordering (optimizer_d.step before generator_loss), same as
+    the monolithic step. RNG: uses the k_gp stream of the same
+    ``fold_in(key, step)`` split as the monolithic step, so split-mode
+    randomness is bit-identical to monolithic-mode.
+    """
+    _, disc_tx = make_optimizers(cfg.optim)
+    loss_cfg = cfg.loss
+
+    _disc_ckpt = (
+        jax.checkpoint(lambda p, x: models.apply_discriminator(p, x))
+        if cfg.remat
+        else (lambda p, x: models.apply_discriminator(p, x))
+    )
+
+    def disc_step(state: TrainState, audio: jnp.ndarray, msg: jnp.ndarray,
+                  key: jnp.ndarray
+                  ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        _, k_gp = jax.random.split(jax.random.fold_in(key, state.step))
+        fake = jax.lax.stop_gradient(
+            models.apply_generator(state.wm_params["generator"], audio, msg)
+        )
+
+        def d_loss_fn(dp):
+            return discriminator_loss(
+                lambda x: _disc_ckpt(dp, x), fake, audio, key=k_gp,
+                gp_weight=loss_cfg.gp_weight,
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_grads, d_grad_norm = clip_by_global_norm(d_grads, MAX_GRADIENT_NORM)
+        d_updates, disc_opt_state = disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+        new_state = state.replace(disc_params=disc_params,
+                                  disc_opt_state=disc_opt_state)
+        return new_state, {"adv/disc_loss": d_loss,
+                           "grad_norm/discriminator": d_grad_norm}
+
+    return disc_step
 
 
 def make_multi_train_step(
