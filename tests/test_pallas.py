@@ -126,6 +126,8 @@ def test_tiled_kernel_matches_single_tile():
     b2 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
 
     statics = dict(k=k, d1=1, d2=1, prescale=0.9, res_scale=0.577, alpha=1.0)
+    chain_statics = dict(k=k, d1=1, d2=1, prescales=(0.9,), res_scale=0.577,
+                         alpha=1.0)
     y_ref = np.asarray(pk._resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2,
                                         **statics))
     budget = pk.VMEM_BUDGET_BYTES
@@ -133,7 +135,8 @@ def test_tiled_kernel_matches_single_tile():
         pk.VMEM_BUDGET_BYTES = 1 * 1024 * 1024  # force n_t = 8 tiles
         assert pk.choose_t_tile(t, c, k) < t
         y_tiled = np.asarray(pk._pallas_forward(
-            x, pw1, dw1, b1, pw2, dw2, b2, interpret=True, **statics
+            x, pw1[None], dw1[None], b1[None], pw2[None], dw2[None],
+            b2[None], interpret=True, **chain_statics
         ))
     finally:
         pk.VMEM_BUDGET_BYTES = budget
@@ -151,6 +154,8 @@ def test_layout_variants_match_xla_multi_tile(layout):
     ws = [jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
           for s in [(c, c), (k, c), (c,), (c, c), (k, c), (c,)]]
     statics = dict(k=k, d1=1, d2=1, prescale=0.9, res_scale=0.577, alpha=1.0)
+    chain_statics = dict(k=k, d1=1, d2=1, prescales=(0.9,), res_scale=0.577,
+                         alpha=1.0)
     y_ref = np.asarray(pk._resblock_xla(x, *ws, **statics))
 
     budget = pk.VMEM_BUDGET_BYTES
@@ -160,10 +165,95 @@ def test_layout_variants_match_xla_multi_tile(layout):
         if layout == "tbc":
             tt = pk.choose_t_tile_tbc(t, b, c, k)
             assert tt is not None and tt < t  # actually tiled
-        y = np.asarray(pk._pallas_forward(x, *ws, interpret=True, **statics))
+        y = np.asarray(pk._pallas_forward(*(x,) + tuple(w[None] for w in ws),
+                                          interpret=True, **chain_statics))
     finally:
         pk.VMEM_BUDGET_BYTES = budget
     np.testing.assert_allclose(y, y_ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["btc", "tbc"])
+@pytest.mark.parametrize("m", [2, 3])
+def test_fused_chain_matches_sequential(layout, m):
+    """The M-block chain kernel must equal M sequential single blocks
+    (with per-idx prescales), across layouts and tile counts."""
+    rng = np.random.RandomState(5)
+    c, k, t, b = 32, 5, 512, 2
+    x = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 0.3)
+    res_scale = 0.577
+    slots, prescales = [], []
+    for i in range(m):
+        slots.append(tuple(
+            jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+            for s in [(c, c), (k, c), (c,), (c, c), (k, c), (c,)]))
+        prescales.append((1.0 + i * res_scale**2) ** -0.5)
+
+    # sequential single-block XLA reference
+    y_ref = x
+    for slot, ps in zip(slots, prescales):
+        y_ref = pk._resblock_xla(y_ref, *slot, k=k, d1=1, d2=1, prescale=ps,
+                                 res_scale=res_scale, alpha=1.0)
+    y_ref = np.asarray(y_ref)
+
+    budget = pk.VMEM_BUDGET_BYTES
+    orig = pk._pallas_forward
+    try:
+        pk.VMEM_BUDGET_BYTES = 1024 * 1024  # force several tiles
+        pk.set_pallas_layout(layout)
+        pk.make_fused_resblock.cache_clear()
+        pk._pallas_forward = lambda *a, interpret, **kw: orig(
+            *a, interpret=True, **kw)
+        y = np.asarray(pk.fused_resblock_chain(
+            x, slots, k=k, dilations=(1, 1), prescales=tuple(prescales),
+            res_scale=res_scale, alpha=1.0))
+    finally:
+        pk.VMEM_BUDGET_BYTES = budget
+        pk._pallas_forward = orig
+        pk.make_fused_resblock.cache_clear()
+    np.testing.assert_allclose(y, y_ref, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_chain_gradients_match():
+    """custom_vjp backward of the chain equals autodiff through the
+    sequential XLA blocks."""
+    rng = np.random.RandomState(9)
+    c, k, t, b, m = 16, 5, 128, 2, 2
+    x = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 0.3)
+    res_scale = 0.577
+    slots = [tuple(jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+                   for s in [(c, c), (k, c), (c,), (c, c), (k, c), (c,)])
+             for _ in range(m)]
+    prescales = tuple((1.0 + i * res_scale**2) ** -0.5 for i in range(m))
+
+    def seq_loss(x, slots):
+        y = x
+        for slot, ps in zip(slots, prescales):
+            y = pk._resblock_xla(y, *slot, k=k, d1=1, d2=1, prescale=ps,
+                                 res_scale=res_scale, alpha=1.0)
+        return jnp.sum(jnp.square(y))
+
+    g_ref = jax.grad(seq_loss, argnums=(0, 1))(x, slots)
+
+    orig = pk._pallas_forward
+    try:
+        pk.make_fused_resblock.cache_clear()
+        pk._pallas_forward = lambda *a, interpret, **kw: orig(
+            *a, interpret=True, **kw)
+
+        def chain_loss(x, slots):
+            y = pk.fused_resblock_chain(
+                x, slots, k=k, dilations=(1, 1), prescales=prescales,
+                res_scale=res_scale, alpha=1.0)
+            return jnp.sum(jnp.square(y))
+
+        g_chain = jax.grad(chain_loss, argnums=(0, 1))(x, slots)
+    finally:
+        pk._pallas_forward = orig
+        pk.make_fused_resblock.cache_clear()
+    for a, bb in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_chain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-4, rtol=1e-4)
 
 
 def test_tbc_falls_back_to_btc_tiling():

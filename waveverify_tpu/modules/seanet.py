@@ -213,6 +213,55 @@ def _dws_conv_block(
     return steps
 
 
+def _apply_resblock_chain(parent: nn.Module, blocks, x: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Apply a run of adjacent residual blocks, fusing the WHOLE chain into
+    one Pallas kernel when eligible (shipped encoder/decoder scales run 2-3
+    identical-shape blocks back to back; one kernel per chain costs one HBM
+    read of x + one write of the output instead of one pair per block —
+    docs/SERVING_PERF.md, the program is memory-bound). Falls back to
+    per-block application (which itself may fuse single blocks) whenever
+    the chain is not eligible, and always during init (the per-block path
+    creates/owns the params)."""
+    if blocks and not parent.is_initializing():
+        from waveverify_tpu.ops.pallas_kernels import (
+            can_fuse,
+            fused_resblock_chain,
+            pallas_enabled,
+        )
+
+        b0 = blocks[0]
+        if (
+            pallas_enabled()
+            and x.dtype in (jnp.float32, jnp.bfloat16)
+            and all(tuple(m.dilations) == (1, 1)
+                    and m.kernel_size == b0.kernel_size
+                    and m.res_scale == b0.res_scale
+                    and m.activation_params == b0.activation_params
+                    for m in blocks)
+            and can_fuse(x.shape[1], x.shape[2], b0.kernel_size,
+                         m=len(blocks))
+        ):
+            fps = [m._fused_params() for m in blocks]
+            if all(fp is not None for fp in fps):
+                slots = [fp[0] + fp[1] for fp in fps]
+                prescales = tuple(
+                    (1.0 + m.idx * m.res_scale**2) ** -0.5
+                    if m.res_scale is not None else 1.0
+                    for m in blocks
+                )
+                return fused_resblock_chain(
+                    x, slots, k=b0.kernel_size, dilations=(1, 1),
+                    prescales=prescales,
+                    res_scale=(b0.res_scale
+                               if b0.res_scale is not None else 1.0),
+                    alpha=(b0.activation_params or {}).get("alpha", 1.0),
+                )
+    for m in blocks:
+        x = m(x)
+    return x
+
+
 class SEANetResnetBlock(nn.Module):
     """Residual block with skip strategies (reference seanet.py:123-281)."""
 
@@ -583,9 +632,8 @@ class SEANetEncoder(nn.Module):
         stride = 1
         for block_idx, ratio in enumerate(ratios):
             dim = mult * self.n_filters
-            for j in range(1, self.n_residual_layers + 1):
-                idx = j - 1 if self.spec == "" else j
-                x = SEANetResnetBlock(
+            x = _apply_resblock_chain(self, [
+                SEANetResnetBlock(
                     dim=dim,
                     kernel_size=self.residual_kernel_size,
                     dilations=(self.dilation_base**j, 1),
@@ -601,10 +649,12 @@ class SEANetEncoder(nn.Module):
                     groups=self.groups,
                     use_bias=self.use_bias,
                     res_scale=self.res_scale,
-                    idx=idx,
+                    idx=j - 1 if self.spec == "" else j,
                     zero_init=self.zero_init,
                     name=f"block_{block_idx}_{j - 1}",
-                )(x)
+                )
+                for j in range(1, self.n_residual_layers + 1)
+            ], x)
 
             x = SpecBlock(
                 spec=self.spec,
@@ -861,8 +911,8 @@ class SEANetDecoder(nn.Module):
                 use_bias=self.use_bias,
                 name=f"up_{i}_proj",
             )(x)
-            for j in range(self.n_residual_layers):
-                x = SEANetResnetBlock(
+            x = _apply_resblock_chain(self, [
+                SEANetResnetBlock(
                     dim=dim // 2,
                     kernel_size=self.residual_kernel_size,
                     dilations=(self.dilation_base**j, 1),
@@ -881,7 +931,9 @@ class SEANetDecoder(nn.Module):
                     idx=j,
                     zero_init=self.zero_init,
                     name=f"block_{i}_{j}",
-                )(x)
+                )
+                for j in range(self.n_residual_layers)
+            ], x)
             mult //= 2
 
         if self.res_scale is not None:

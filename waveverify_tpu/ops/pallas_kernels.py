@@ -100,20 +100,20 @@ def pallas_enabled() -> bool:
         return False
 
 
-def _tile_bytes(t_tile: int, c: int, halo: int) -> int:
+def _tile_bytes(t_tile: int, c: int, halo: int, m: int = 1) -> int:
     # VMEM tiles are (8, 128): channels pad up to a lane multiple (a [T, 32]
     # f32 buffer occupies 4x its logical size) and rows pad up to 8
     c_eff = -(-c // 128) * 128
     rows = -(-(t_tile + halo) // 8) * 8
-    return _LIVE_TEMPS * rows * c_eff * 4 + 2 * c_eff * c * 4
+    return _LIVE_TEMPS * rows * c_eff * 4 + m * 2 * c_eff * c * 4
 
 
-def choose_t_tile(t: int, c: int, k: int) -> Optional[int]:
+def choose_t_tile(t: int, c: int, k: int, m: int = 1) -> Optional[int]:
     """Largest divisor tiling of T that fits the VMEM budget (None: can't
-    fuse). Tiles must cover the halo (2*(k-1) rows of history)."""
+    fuse). Tiles must cover the halo (m blocks x 2*(k-1) rows of history)."""
     if c > MAX_FUSED_CHANNELS:
         return None
-    halo = 2 * (k - 1)
+    halo = m * 2 * (k - 1)
     for n in range(1, 65):
         if t % n:
             continue
@@ -124,13 +124,13 @@ def choose_t_tile(t: int, c: int, k: int) -> Optional[int]:
         # by 8 unless the block spans the full dimension
         if t_tile != t and t_tile % 8:
             continue
-        if _tile_bytes(t_tile, c, halo) <= VMEM_BUDGET_BYTES:
+        if _tile_bytes(t_tile, c, halo, m) <= VMEM_BUDGET_BYTES:
             return t_tile
     return None
 
 
-def can_fuse(t: int, c: int, k: int) -> bool:
-    return choose_t_tile(t, c, k) is not None
+def can_fuse(t: int, c: int, k: int, m: int = 1) -> bool:
+    return choose_t_tile(t, c, k, m) is not None
 
 
 def _elu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -165,23 +165,41 @@ def _block_core(xx, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
     return y
 
 
-def _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
-                  res_scale, alpha):
-    """Plain-XLA reference implementation over [B, T, C] (differentiable)."""
+def _resblock_chain_xla(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, *, k, d1, d2,
+                        prescales, res_scale, alpha):
+    """Plain-XLA reference: M chained residual blocks over [B, T, C]
+    (differentiable). Weights carry a leading [M] axis; ``prescales`` is a
+    static length-M tuple (per-block 1/sqrt(1 + idx * res_scale^2))."""
     def dot(a, w):
         return jnp.dot(a, w, precision=jax.lax.Precision.DEFAULT)
 
     def one(xb):
-        y = _block_core(xb, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1, d2=d2,
-                        prescale=prescale, alpha=alpha, dot=dot)
-        return y * res_scale + xb
+        for i, ps in enumerate(prescales):
+            y = _block_core(xb, pw1s[i], dw1s[i], b1s[i], pw2s[i], dw2s[i],
+                            b2s[i], k=k, d1=d1, d2=d2, prescale=ps,
+                            alpha=alpha, dot=dot)
+            xb = y * res_scale + xb
+        return xb
 
     return jax.vmap(one)(x)
 
 
+def _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
+                  res_scale, alpha):
+    """Single-block convenience wrapper over :func:`_resblock_chain_xla`."""
+    return _resblock_chain_xla(
+        x, pw1[None], dw1[None], b1[None], pw2[None], dw2[None], b2[None],
+        k=k, d1=d1, d2=d2, prescales=(prescale,), res_scale=res_scale,
+        alpha=alpha)
+
+
 def _resblock_kernel(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
-                     dw2_ref, b2_ref, out_ref, *, k, d1, d2, prescale,
+                     dw2_ref, b2_ref, out_ref, *, k, d1, d2, prescales,
                      res_scale, alpha, halo):
+    """M chained blocks, grid (B, T/t_tile), [t_tile, C] slabs. Fusing the
+    chain (encoder scales run 2-3 identical-shape blocks back to back)
+    halves the pair's HBM traffic vs one kernel per block: one read of x +
+    one write of the output covers the whole chain."""
     def dot(a, w):
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
@@ -193,58 +211,70 @@ def _resblock_kernel(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
     f32 = jnp.float32
     xm = xm_ref[0].astype(f32)  # [t_tile, C] current tile
     # history: last `halo` rows of the previous tile; zeros for tile 0
-    # (== SConv1d's causal zero padding at the sequence start)
+    # (== SConv1d's causal zero padding at the sequence start). halo covers
+    # the WHOLE chain (M x 2(k-1) rows): block i+1's tail needs block i's
+    # output over its own receptive field, recomputed here from the shared
+    # history instead of round-tripping HBM between blocks.
     hist = xp_ref[0, -halo:, :].astype(f32)
     hist = jnp.where(j == 0, jnp.zeros_like(hist), hist)
     xx = jnp.concatenate([hist, xm], axis=0)  # [halo + t_tile, C]
+    row = jax.lax.broadcasted_iota(jnp.int32, xx.shape, 0)
+    pad_rows = (j == 0) & (row < halo)  # tile 0: causal zero-pad rows
 
-    u = _elu(xx * prescale, alpha)
-    u = dot(u, pw1_ref[:].astype(f32))  # pw has no bias: zero history stays 0
-    u = _causal_dw(u, dw1_ref[:].astype(f32), b1_ref[:].astype(f32), k, d1)
-    # dw1's bias leaks into the t<0 history rows of tile 0; the true dw2
-    # input there is the causal zero pad — mask them back to zero
-    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-    u = jnp.where((j == 0) & (row < halo), jnp.zeros_like(u), u)
-    u = _elu(u, alpha)
-    u = dot(u, pw2_ref[:].astype(f32))
-    u = _causal_dw(u, dw2_ref[:].astype(f32), b2_ref[:].astype(f32), k, d2)
-    out_ref[0] = (u[halo:] * res_scale + xm).astype(out_ref.dtype)
+    for i, ps in enumerate(prescales):
+        u = _elu(xx * ps, alpha)
+        u = dot(u, pw1_ref[i].astype(f32))  # pw has no bias: zeros stay 0
+        u = _causal_dw(u, dw1_ref[i].astype(f32), b1_ref[i].astype(f32),
+                       k, d1)
+        # the dw biases leak into the t<0 zero-pad rows of tile 0; the next
+        # op's true input there is zero — mask after every bias add
+        u = jnp.where(pad_rows, jnp.zeros_like(u), u)
+        u = _elu(u, alpha)
+        u = dot(u, pw2_ref[i].astype(f32))
+        u = _causal_dw(u, dw2_ref[i].astype(f32), b2_ref[i].astype(f32),
+                       k, d2)
+        xx = u * res_scale + xx
+        xx = jnp.where(pad_rows, jnp.zeros_like(xx), xx)
+    out_ref[0] = xx[halo:].astype(out_ref.dtype)
 
 
-def _tile_bytes_tbc(t_tile: int, b: int, c: int, halo: int) -> int:
+def _tile_bytes_tbc(t_tile: int, b: int, c: int, halo: int,
+                    m: int = 1) -> int:
     # [t_tile, B, C] slabs: the (8, 128) VMEM tiling applies to the minor
     # (B, C) pair — B pads to a sublane multiple, C to a lane multiple; the
     # major T dim has no padding or divisibility constraint.
     c_eff = -(-c // 128) * 128
     b_eff = -(-b // 8) * 8
     return (_LIVE_TEMPS * (t_tile + halo) * b_eff * c_eff * 4
-            + 2 * c_eff * c * 4)
+            + m * 2 * c_eff * c * 4)
 
 
-def choose_t_tile_tbc(t: int, b: int, c: int, k: int) -> Optional[int]:
+def choose_t_tile_tbc(t: int, b: int, c: int, k: int,
+                      m: int = 1) -> Optional[int]:
     """Largest divisor tiling of T for the [T, B, C] kernel (None: can't
     fuse this way). The whole batch lives in each program, so rows cost
     B x more VMEM than the btc kernel's but need no sublane rounding."""
     if c > MAX_FUSED_CHANNELS:
         return None
-    halo = 2 * (k - 1)
+    halo = m * 2 * (k - 1)
     for n in range(1, 2049):
         if t % n:
             continue
         t_tile = t // n
         if t_tile < halo:
             return None
-        if _tile_bytes_tbc(t_tile, b, c, halo) <= VMEM_BUDGET_BYTES:
+        if _tile_bytes_tbc(t_tile, b, c, halo, m) <= VMEM_BUDGET_BYTES:
             return t_tile
     return None
 
 
 def _resblock_kernel_tbc(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
-                         dw2_ref, b2_ref, out_ref, *, k, d1, d2, prescale,
+                         dw2_ref, b2_ref, out_ref, *, k, d1, d2, prescales,
                          res_scale, alpha, halo):
-    """[T, B, C] variant: one program owns a [t_tile, B, C] slab — the
-    depthwise shifts slide whole [B, C] planes and the 1x1 matmuls contract
-    [t x B, C] rows. Same math as _resblock_kernel."""
+    """[T, B, C] variant of the chained kernel: one program owns a
+    [t_tile, B, C] slab — the depthwise shifts slide whole [B, C] planes
+    and the 1x1 matmuls contract [t x B, C] rows. Same math as
+    _resblock_kernel."""
     f32 = jnp.float32
     j = pl.program_id(0)
     xm = xm_ref[...].astype(f32)  # [t_tile, B, C]
@@ -252,6 +282,8 @@ def _resblock_kernel_tbc(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
     hist = jnp.where(j == 0, jnp.zeros_like(hist), hist)
     xx = jnp.concatenate([hist, xm], axis=0)  # [halo + t_tile, B, C]
     tp, bb, c = xx.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, xx.shape, 0)
+    pad_rows = (j == 0) & (row < halo)
 
     def dot(a, w):
         # collapse (T, B) into matmul rows; Mosaic keeps the (B, C)-tiled
@@ -267,26 +299,37 @@ def _resblock_kernel_tbc(xm_ref, xp_ref, pw1_ref, dw1_ref, b1_ref, pw2_ref,
             acc = acc + shifted * w[jj][None, None, :]
         return acc + bias[None, None, :]
 
-    u = _elu(xx * prescale, alpha)
-    u = dot(u, pw1_ref[:].astype(f32))
-    u = dw(u, dw1_ref[:].astype(f32), b1_ref[:].astype(f32), d1)
-    row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-    u = jnp.where((j == 0) & (row < halo), jnp.zeros_like(u), u)
-    u = _elu(u, alpha)
-    u = dot(u, pw2_ref[:].astype(f32))
-    u = dw(u, dw2_ref[:].astype(f32), b2_ref[:].astype(f32), d2)
-    out_ref[...] = (u[halo:] * res_scale + xm).astype(out_ref.dtype)
+    for i, ps in enumerate(prescales):
+        u = _elu(xx * ps, alpha)
+        u = dot(u, pw1_ref[i].astype(f32))
+        u = dw(u, dw1_ref[i].astype(f32), b1_ref[i].astype(f32), d1)
+        u = jnp.where(pad_rows, jnp.zeros_like(u), u)
+        u = _elu(u, alpha)
+        u = dot(u, pw2_ref[i].astype(f32))
+        u = dw(u, dw2_ref[i].astype(f32), b2_ref[i].astype(f32), d2)
+        xx = u * res_scale + xx
+        xx = jnp.where(pad_rows, jnp.zeros_like(xx), xx)
+    out_ref[...] = xx[halo:].astype(out_ref.dtype)
 
 
-def _pallas_forward_tbc(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2,
-                        prescale, res_scale, alpha, interpret, t_tile):
+def _chain_cost(b, t, c, k, m):
+    return pl.CostEstimate(
+        flops=m * 2 * b * t * c * (2 * c + 2 * k),
+        bytes_accessed=4 * (2 * b * t * c + m * 2 * c * c),
+        transcendentals=m * 2 * b * t * c,  # ELU exps
+    )
+
+
+def _pallas_forward_tbc(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, *, k, d1, d2,
+                        prescales, res_scale, alpha, interpret, t_tile):
     """x [B, T, C] -> transpose to [T, B, C] (a layout NO-OP against XLA's
-    preferred {2,0,1} physical layout) -> tiled kernel over T."""
+    preferred {2,0,1} physical layout) -> tiled chain kernel over T."""
     b, t, c = x.shape
-    halo = (k - 1) * d1 + (k - 1) * d2
+    m = len(prescales)
+    halo = m * ((k - 1) * d1 + (k - 1) * d2)
     n_t = t // t_tile
     kern = functools.partial(
-        _resblock_kernel_tbc, k=k, d1=d1, d2=d2, prescale=prescale,
+        _resblock_kernel_tbc, k=k, d1=d1, d2=d2, prescales=prescales,
         res_scale=res_scale, alpha=alpha, halo=halo,
     )
     x_tbc = jnp.transpose(x, (1, 0, 2))  # [T, B, C]
@@ -303,40 +346,38 @@ def _pallas_forward_tbc(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2,
         out_shape=jax.ShapeDtypeStruct((t, b, c), x.dtype),
         in_specs=[
             tile, prev,
-            full((c, c)), full((k, c)), full((c,)),
-            full((c, c)), full((k, c)), full((c,)),
+            full((m, c, c)), full((m, k, c)), full((m, c)),
+            full((m, c, c)), full((m, k, c)), full((m, c)),
         ],
         out_specs=tile,
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * c * (2 * c + 2 * k),
-            bytes_accessed=4 * (2 * b * t * c + 2 * c * c),
-            transcendentals=2 * b * t * c,  # ELU exps
-        ),
-    )(x_tbc, x_tbc, pw1, dw1, b1, pw2, dw2, b2)
+        cost_estimate=_chain_cost(b, t, c, k, m),
+    )(x_tbc, x_tbc, pw1s, dw1s, b1s, pw2s, dw2s, b2s)
     return jnp.transpose(out, (1, 0, 2))
 
 
-def _pallas_forward(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
-                    res_scale, alpha, interpret):
+def _pallas_forward(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, *, k, d1, d2,
+                    prescales, res_scale, alpha, interpret):
+    """Chain forward over [B, T, C]; weights carry a leading [M] axis."""
     b, t, c = x.shape
-    halo = (k - 1) * d1 + (k - 1) * d2
+    m = len(prescales)
+    halo = m * ((k - 1) * d1 + (k - 1) * d2)
     if _PALLAS_LAYOUT == "tbc":
-        tt = choose_t_tile_tbc(t, b, c, k)
+        tt = choose_t_tile_tbc(t, b, c, k, m)
         if tt is not None:
             return _pallas_forward_tbc(
-                x, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1, d2=d2,
-                prescale=prescale, res_scale=res_scale, alpha=alpha,
+                x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, k=k, d1=d1, d2=d2,
+                prescales=prescales, res_scale=res_scale, alpha=alpha,
                 interpret=interpret, t_tile=tt)
         # fall through to the btc tiling, then XLA
-    t_tile = choose_t_tile(t, c, k)
+    t_tile = choose_t_tile(t, c, k, m)
     if t_tile is None:
-        return _resblock_xla(x, pw1, dw1, b1, pw2, dw2, b2, k=k, d1=d1,
-                             d2=d2, prescale=prescale, res_scale=res_scale,
-                             alpha=alpha)
+        return _resblock_chain_xla(
+            x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, k=k, d1=d1, d2=d2,
+            prescales=prescales, res_scale=res_scale, alpha=alpha)
     n_t = t // t_tile
     kern = functools.partial(
-        _resblock_kernel, k=k, d1=d1, d2=d2, prescale=prescale,
+        _resblock_kernel, k=k, d1=d1, d2=d2, prescales=prescales,
         res_scale=res_scale, alpha=alpha, halo=halo,
     )
     tile = pl.BlockSpec((1, t_tile, c), lambda i, j: (i, j, 0),
@@ -354,44 +395,42 @@ def _pallas_forward(x, pw1, dw1, b1, pw2, dw2, b2, *, k, d1, d2, prescale,
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         in_specs=[
             tile, prev,
-            full((c, c)), full((k, c)), full((c,)),
-            full((c, c)), full((k, c)), full((c,)),
+            full((m, c, c)), full((m, k, c)), full((m, c)),
+            full((m, c, c)), full((m, k, c)), full((m, c)),
         ],
         out_specs=tile,
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * c * (2 * c + 2 * k),
-            bytes_accessed=4 * (2 * b * t * c + 2 * c * c),
-            transcendentals=2 * b * t * c,  # ELU exps
-        ),
-    )(x, x, pw1, dw1, b1, pw2, dw2, b2)
+        cost_estimate=_chain_cost(b, t, c, k, m),
+    )(x, x, pw1s, dw1s, b1s, pw2s, dw2s, b2s)
 
 
 @functools.lru_cache(maxsize=None)
-def make_fused_resblock(k: int, d1: int, d2: int, prescale: float,
-                        res_scale: float, alpha: float,
-                        interpret: bool = False):
-    """Build (and cache) the custom-vjp fused residual block for a static
-    (k, dilations, scales) signature.
+def make_fused_resblock_chain(k: int, d1: int, d2: int,
+                              prescales: Tuple[float, ...],
+                              res_scale: float, alpha: float,
+                              interpret: bool = False):
+    """Build (and cache) the custom-vjp fused residual-block CHAIN for a
+    static (k, dilations, prescales, scales) signature; M = len(prescales).
 
-    fn(x [B,T,C], pw1 [C,C], dw1 [k,C], b1 [C], pw2, dw2, b2) -> [B,T,C]
+    fn(x [B,T,C], pw1s [M,C,C], dw1s [M,k,C], b1s [M,C], pw2s, dw2s, b2s)
+      -> [B,T,C]
     """
-    statics = dict(k=k, d1=d1, d2=d2, prescale=prescale,
+    statics = dict(k=k, d1=d1, d2=d2, prescales=tuple(prescales),
                    res_scale=res_scale, alpha=alpha)
 
     @jax.custom_vjp
-    def fused(x, pw1, dw1, b1, pw2, dw2, b2):
-        return _pallas_forward(x, pw1, dw1, b1, pw2, dw2, b2,
+    def fused(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s):
+        return _pallas_forward(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s,
                                interpret=interpret, **statics)
 
-    def fwd(x, pw1, dw1, b1, pw2, dw2, b2):
-        out = fused(x, pw1, dw1, b1, pw2, dw2, b2)
-        return out, (x, pw1, dw1, b1, pw2, dw2, b2)
+    def fwd(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s):
+        out = fused(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s)
+        return out, (x, pw1s, dw1s, b1s, pw2s, dw2s, b2s)
 
     def bwd(residuals, g):
         # exact gradients by re-deriving the identical math in XLA
         _, vjp = jax.vjp(
-            lambda *a: _resblock_xla(*a, **statics), *residuals
+            lambda *a: _resblock_chain_xla(*a, **statics), *residuals
         )
         return vjp(g)
 
@@ -399,13 +438,51 @@ def make_fused_resblock(k: int, d1: int, d2: int, prescale: float,
     return fused
 
 
+def make_fused_resblock(k: int, d1: int, d2: int, prescale: float,
+                        res_scale: float, alpha: float,
+                        interpret: bool = False):
+    """Single-block compatibility wrapper over the chain builder."""
+    chain = make_fused_resblock_chain(k, d1, d2, (float(prescale),),
+                                      float(res_scale), float(alpha),
+                                      interpret)
+
+    def fused(x, pw1, dw1, b1, pw2, dw2, b2):
+        return chain(x, pw1[None], dw1[None], b1[None],
+                     pw2[None], dw2[None], b2[None])
+
+    return fused
+
+
+# compatibility: callers (tests) clear the kernel cache through the old name
+make_fused_resblock.cache_clear = make_fused_resblock_chain.cache_clear
+
+
 def fused_resblock(x: jnp.ndarray, pw1, dw1, b1, pw2, dw2, b2, *, k: int,
                    dilations: Tuple[int, int], prescale: float,
                    res_scale: float, alpha: float = 1.0,
                    interpret: bool = False) -> jnp.ndarray:
-    """Public entry: fused SEANet residual block (see module docstring)."""
-    fn = make_fused_resblock(k, dilations[0], dilations[1], float(prescale),
-                             float(res_scale), float(alpha), interpret)
+    """Public entry: one fused SEANet residual block (see module
+    docstring). For adjacent identical-shape blocks prefer
+    :func:`fused_resblock_chain` — one kernel per chain costs one read of
+    x + one write of the output for ALL blocks."""
+    return fused_resblock_chain(
+        x, [(pw1, dw1, b1, pw2, dw2, b2)], k=k, dilations=dilations,
+        prescales=(prescale,), res_scale=res_scale, alpha=alpha,
+        interpret=interpret)
+
+
+def fused_resblock_chain(x: jnp.ndarray, slots, *, k: int,
+                         dilations: Tuple[int, int],
+                         prescales: Tuple[float, ...],
+                         res_scale: float, alpha: float = 1.0,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused chain of M residual blocks. ``slots`` is a length-M list of
+    (pw1, dw1, b1, pw2, dw2, b2) weight tuples; ``prescales`` the matching
+    per-block pre-scales (1/sqrt(1 + idx * res_scale^2))."""
+    fn = make_fused_resblock_chain(
+        k, dilations[0], dilations[1],
+        tuple(float(p) for p in prescales), float(res_scale), float(alpha),
+        interpret)
     # weights follow the activation dtype (bf16 serving): mixed-dtype dots
     # don't lower in Mosaic, and f32 weights would silently upcast the
     # VMEM-resident slab. NB under bf16 this QUANTIZES the weight VALUES to
@@ -413,5 +490,6 @@ def fused_resblock(x: jnp.ndarray, pw1, dw1, b1, pw2, dw2, b2, *, k: int,
     # x.dtype) — "f32-internal" means accumulation/arithmetic only
     # (preferred_element_type in the kernel body), not full-precision
     # weights.
-    w = [a.astype(x.dtype) for a in (pw1, dw1, b1, pw2, dw2, b2)]
-    return fn(x, *w)
+    stacked = [jnp.stack([jnp.asarray(s[i]).astype(x.dtype) for s in slots])
+               for i in range(6)]
+    return fn(x, *stacked)
