@@ -724,9 +724,11 @@ def test_ber_gated_ramp_fx_latch():
 
 def test_ber_gated_ramp_msg_refreeze():
     """Lockstep-triggered re-freeze (warmup_msg_refreeze): after the freeze
-    latch opens, an ACTIVE bit whose accuracy EMA pins below chance (<0.45)
-    re-freezes the msg path; it thaws once all active bits recover (>0.55).
-    Inactive (curriculum-masked) bits never trigger it."""
+    latch opens, an ACTIVE bit whose accuracy EMA pins WELL below chance
+    (<0.35 — anti-aligned, not merely weak) re-freezes the msg path; it
+    thaws once all active bits recover (>0.45). Inactive (curriculum-
+    masked) bits never trigger it, and weak-but-aligned bits (~0.4-0.6)
+    must NOT trigger it (they need generator growth, not a freeze)."""
     from waveverify_tpu.train.loop import BerGatedRamp
 
     ramp = BerGatedRamp(steps=10, init_scale=0.01, gate=0.05, beta=0.0,
@@ -736,6 +738,11 @@ def test_ber_gated_ramp_msg_refreeze():
     ramp.update(0.1, per_bit_acc=good, n_active=4)  # EMA crosses the gate
     assert ramp.msg_on()
 
+    # a WEAK-but-aligned active bit (acc ~0.4) must NOT refreeze — it needs
+    # the generator to grow its channel, which a freeze would block
+    ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.40]), n_active=4)
+    assert ramp.msg_on()
+    ramp.update(0.1, per_bit_acc=good, n_active=4)  # restore the EMA
     # an inactive below-chance bit must NOT refreeze (bit 3 masked out)
     ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.1]), n_active=3)
     assert ramp.msg_on()
@@ -743,8 +750,8 @@ def test_ber_gated_ramp_msg_refreeze():
     ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.1]), n_active=4)
     assert not ramp.msg_on() and ramp.msg_latched  # latch stays open
 
-    # hysteresis: 0.5 is not enough to thaw, >0.55 is
-    ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.5]), n_active=4)
+    # hysteresis: 0.40 is not enough to thaw, >0.45 is
+    ramp.update(0.1, per_bit_acc=np.array([1.0, 1.0, 1.0, 0.40]), n_active=4)
     assert not ramp.msg_on()
     ramp.update(0.1, per_bit_acc=good, n_active=4)
     assert ramp.msg_on()

@@ -232,14 +232,22 @@ class BerGatedRamp:
         # Lockstep-triggered RE-freeze (LossConfig.warmup_msg_refreeze,
         # VERDICT r3 weak #1): after the freeze latch opens, generator and
         # detector can re-enter the per-bit sign-flip lockstep — the live
-        # signature is a bit whose decision-accuracy EMA pins BELOW chance
-        # (observed: 4 bits < 0.4 on the r4 run 4k steps post-unfreeze).
-        # When enabled, the msg path re-freezes while any ACTIVE bit's acc
-        # EMA sits below 0.45 and thaws once all active bits recover above
-        # 0.55 (hysteresis): a below-chance bit against a stationary code is
-        # trivially fixable by the detector (flip its readout), whereas
-        # under joint updates the polarity orbits forever.
+        # signature is a bit whose decision-accuracy EMA pins WELL below
+        # chance (observed: 4 bits < 0.4 on the r4 run 4k steps
+        # post-unfreeze). When enabled, the msg path re-freezes while any
+        # ACTIVE bit's acc EMA sits below 0.35 and thaws once all active
+        # bits recover above 0.45 (hysteresis): an anti-aligned bit against
+        # a stationary code is trivially fixable by the detector (flip its
+        # readout), whereas under joint updates the polarity orbits forever.
+        # The trigger must sit WELL below chance: a WEAK-but-aligned bit
+        # (quiet audio channel) hovers at 0.45-0.62 accuracy and needs the
+        # generator to GROW its channel — measured on the r5 run, a 0.45
+        # trigger kept re-freezing exactly the updates that would have
+        # grown it (bit-0 delta 0.18x audio vs 3.8-6.7x for its decoded
+        # peers, scripts/probe_deltas.py @step 3000).
         self.msg_refreeze = bool(msg_refreeze)
+        self.msg_refreeze_lo = 0.35
+        self.msg_refreeze_hi = 0.45
         self.msg_refrozen = False
         self.bit_acc_ema = np.full(int(nbits), 0.5, np.float64)
 
@@ -295,14 +303,17 @@ class BerGatedRamp:
             n = (len(self.bit_acc_ema) if n_active is None
                  else max(1, int(n_active)))
             lo = float(self.bit_acc_ema[:n].min())
-            if self.msg_latched and not self.msg_refrozen and lo < 0.45:
+            if (self.msg_latched and not self.msg_refrozen
+                    and lo < self.msg_refreeze_lo):
                 self.msg_refrozen = True
                 logger.info("lockstep signature: active-bit acc EMA min "
-                            "%.3f < 0.45 — msg path RE-FROZEN", lo)
-            elif self.msg_refrozen and lo > 0.55:
+                            "%.3f < %.2f — msg path RE-FROZEN", lo,
+                            self.msg_refreeze_lo)
+            elif self.msg_refrozen and lo > self.msg_refreeze_hi:
                 self.msg_refrozen = False
                 logger.info("lockstep cleared: active-bit acc EMA min %.3f "
-                            "> 0.55 — msg path thawed", lo)
+                            "> %.2f — msg path thawed", lo,
+                            self.msg_refreeze_hi)
         # the perceptual squeeze must never advance on clean-only BER: while
         # the fx latch is open the EMA measures an unattacked code
         if self.fx_latched and self.ema <= self.gate:
