@@ -877,6 +877,11 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             host["bits/n_below_chance"] = float((acc < 0.45).sum())
             if curr is not None:
                 host["ramp/nbits_active"] = float(curr.n_active)
+                # inactive bits receive no decode gradient and drift around
+                # chance — the lockstep/weak-bit signature lives in the
+                # ACTIVE slice only
+                host["bits/acc_min_active"] = float(
+                    acc[: curr.n_active].min())
             tracker.update(last_step, host)
             logger.info(
                 "step %d loss %.4f dec %.4f loc %.4f ber %.4f miou %.4f",
