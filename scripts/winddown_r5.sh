@@ -54,6 +54,12 @@ EOF
 echo "== bench: bf16 + pallas tbc (new default) =="
 timeout 900 python bench.py | tee /tmp/bench_bf16_tbc.log || echo "BENCH TBC FAILED rc=$?"
 
+echo "== r5 sweep (f32) =="
+timeout 1500 python -m waveverify_tpu.eval \
+  --checkpoint "$OUT" --batch 16 --duration 5.0 \
+  --json-out weights/demo_eval_sweep_r5.json \
+  || echo "R5 SWEEP FAILED rc=$?"
+
 echo "== bench: bf16 + pallas btc (r3 kernel layout) =="
 timeout 900 env WAVEVERIFY_PALLAS_LAYOUT=btc python bench.py \
   | tee /tmp/bench_bf16_btc.log || echo "BENCH BTC FAILED rc=$?"
@@ -61,12 +67,6 @@ timeout 900 env WAVEVERIFY_PALLAS_LAYOUT=btc python bench.py \
 echo "== bench: f32 comparison =="
 timeout 900 python bench.py --dtype float32 | tee /tmp/bench_f32.log \
   || echo "BENCH F32 FAILED rc=$?"
-
-echo "== r5 sweep (f32) =="
-timeout 1500 python -m waveverify_tpu.eval \
-  --checkpoint "$OUT" --batch 16 --duration 5.0 \
-  --json-out weights/demo_eval_sweep_r5.json \
-  || echo "R5 SWEEP FAILED rc=$?"
 
 echo "== r5 sweep (bf16 activations — serve-dtype study) =="
 timeout 1200 python -m waveverify_tpu.eval \
@@ -95,7 +95,7 @@ timeout 1200 python benchmarks/effect_dispatch_bench.py --iters 10 \
 echo "== split-disc measured: batch 32 x 1 s with remat =="
 CKPT=checkpoints/probe_split STEPS=25 RESUME= \
   EXTRA="--split-disc --batch-size 32 --set train_duration=1.0 --set valid_freq=1000000 --no-samples --log-every 5" \
-  timeout 3000 bash -c 'sed -e "s/--no-remat //" scripts/train_demo_r5.sh > /tmp/train_split_probe.sh && bash /tmp/train_split_probe.sh' \
+  timeout 3000 bash -c 'sed -e "s/--no-remat //" scripts/train_demo_r5.sh > scripts/_train_split_probe.sh && bash scripts/_train_split_probe.sh' \
   > /tmp/train_split_b32.log 2>&1 \
   && tail -3 checkpoints/probe_split/train_log.jsonl \
   || { echo "SPLIT B32 RUN FAILED rc=$? (see /tmp/train_split_b32.log)"; tail -5 /tmp/train_split_b32.log; }
