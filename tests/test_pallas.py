@@ -159,8 +159,10 @@ def test_layout_variants_match_xla_multi_tile(layout):
     y_ref = np.asarray(pk._resblock_xla(x, *ws, **statics))
 
     budget = pk.VMEM_BUDGET_BYTES
+    budget_tbc = pk.VMEM_BUDGET_BYTES_TBC
     try:
         pk.VMEM_BUDGET_BYTES = 1024 * 1024  # force several tiles
+        pk.VMEM_BUDGET_BYTES_TBC = 1024 * 1024
         pk.set_pallas_layout(layout)
         if layout == "tbc":
             tt = pk.choose_t_tile_tbc(t, b, c, k)
@@ -169,6 +171,7 @@ def test_layout_variants_match_xla_multi_tile(layout):
                                           interpret=True, **chain_statics))
     finally:
         pk.VMEM_BUDGET_BYTES = budget
+        pk.VMEM_BUDGET_BYTES_TBC = budget_tbc
     np.testing.assert_allclose(y, y_ref, atol=2e-5, rtol=1e-5)
 
 
@@ -196,9 +199,11 @@ def test_fused_chain_matches_sequential(layout, m):
     y_ref = np.asarray(y_ref)
 
     budget = pk.VMEM_BUDGET_BYTES
+    budget_tbc = pk.VMEM_BUDGET_BYTES_TBC
     orig = pk._pallas_forward
     try:
         pk.VMEM_BUDGET_BYTES = 1024 * 1024  # force several tiles
+        pk.VMEM_BUDGET_BYTES_TBC = 1024 * 1024
         pk.set_pallas_layout(layout)
         pk.make_fused_resblock.cache_clear()
         pk._pallas_forward = lambda *a, interpret, **kw: orig(
@@ -208,6 +213,7 @@ def test_fused_chain_matches_sequential(layout, m):
             res_scale=res_scale, alpha=1.0))
     finally:
         pk.VMEM_BUDGET_BYTES = budget
+        pk.VMEM_BUDGET_BYTES_TBC = budget_tbc
         pk._pallas_forward = orig
         pk.make_fused_resblock.cache_clear()
     np.testing.assert_allclose(y, y_ref, atol=3e-5, rtol=1e-5)

@@ -65,6 +65,17 @@ MAX_FUSED_CHANNELS = 768
 # ~8 live [t_tile, C] f32 temporaries for this block (measured: 31.25 M
 # requested for a full [16000, 64] tile).
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# The tbc kernel's slabs carry the whole batch ([t_tile, B, C]); under the
+# btc budget a serving batch of 64 would shrink t_tile below the chain
+# halo's size (t_tile 20 vs halo 16 = 44% recompute overhead). v5e has
+# 128 MB VMEM per core; a larger budget keeps the halo share small while
+# leaving ample headroom over the ~8-live-temps estimate.
+VMEM_BUDGET_BYTES_TBC = 32 * 1024 * 1024
+# Mosaic's default scoped-vmem (kernel stack) limit is 16 MB — well under
+# the 128 MB physical VMEM; the tbc kernels' whole-batch slabs need more
+# (measured: a [25+16, 64, 256] bf16 chain program requests 16.7 MB).
+# Passed to pallas_call via CompilerParams(vmem_limit_bytes=...).
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _LIVE_TEMPS = 8
 
 
@@ -263,7 +274,7 @@ def choose_t_tile_tbc(t: int, b: int, c: int, k: int,
         t_tile = t // n
         if t_tile < halo:
             return None
-        if _tile_bytes_tbc(t_tile, b, c, halo, m) <= VMEM_BUDGET_BYTES:
+        if _tile_bytes_tbc(t_tile, b, c, halo, m) <= VMEM_BUDGET_BYTES_TBC:
             return t_tile
     return None
 
@@ -351,6 +362,8 @@ def _pallas_forward_tbc(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, *, k, d1, d2,
         ],
         out_specs=tile,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES) if _HAVE_PALLAS else None,
         cost_estimate=_chain_cost(b, t, c, k, m),
     )(x_tbc, x_tbc, pw1s, dw1s, b1s, pw2s, dw2s, b2s)
     return jnp.transpose(out, (1, 0, 2))
@@ -400,6 +413,8 @@ def _pallas_forward(x, pw1s, dw1s, b1s, pw2s, dw2s, b2s, *, k, d1, d2,
         ],
         out_specs=tile,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES) if _HAVE_PALLAS else None,
         cost_estimate=_chain_cost(b, t, c, k, m),
     )(x, x, pw1s, dw1s, b1s, pw2s, dw2s, b2s)
 
