@@ -33,6 +33,10 @@ def main():
                     "helper with remat — expect failure)")
     ap.add_argument("--gen-only", action="store_true")
     ap.add_argument("--disc-only", action="store_true")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the state argument exactly like the train "
+                    "loop's jit (pre-warms the persistent compile cache "
+                    "for a later real run)")
     args = ap.parse_args()
 
     import jax
@@ -121,18 +125,18 @@ def main():
     if not args.gen_only:
         probe(f"disc [{tag}]",
               shard_disc_step(make_disc_step(models, cfg), mesh,
-                              donate_state=False),
+                              donate_state=args.donate),
               a_audio, a_msg, a_key)
     if not args.disc_only:
         probe(f"gen  [{tag}]",
               shard_train_step(make_train_step(models, cfg, bank,
                                                update_disc=False), mesh,
-                               donate_state=False, **flags),
+                               donate_state=args.donate, **flags),
               a_audio, a_msg, a_idx, a_key, *extras)
     if args.mono:
         probe(f"mono [{tag}]",
               shard_train_step(make_train_step(models, cfg, bank), mesh,
-                               donate_state=False, **flags),
+                               donate_state=args.donate, **flags),
               a_audio, a_msg, a_idx, a_key, *extras)
 
 
