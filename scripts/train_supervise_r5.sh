@@ -15,6 +15,13 @@ STALL_S=${STALL_S:-1500}
 ATTEMPTS=${ATTEMPTS:-100}
 
 echo $$ > /tmp/train_sup_r5.pid
+# In-run persistence daemon (VERDICT r4: snapshot-commit discipline must be
+# code) — exports + git-commits an npz of `latest` every cycle.
+if ! { [ -f /tmp/snapshot_commit_r5.pid ] \
+       && kill -0 "$(cat /tmp/snapshot_commit_r5.pid)" 2>/dev/null; }; then
+  CKPT="$CKPT" nohup bash scripts/snapshot_commit_r5.sh \
+    >> /tmp/snapshot_commit_r5.out 2>&1 &
+fi
 for attempt in $(seq 1 "$ATTEMPTS"); do
   echo "[sup] attempt $attempt $(date -Is)" >> "$SUPLOG"
   START=$(date +%s)

@@ -37,6 +37,12 @@ if [ -f /tmp/train_r5.pid ] && kill -0 "$(cat /tmp/train_r5.pid)" 2>/dev/null; t
   kill "$(cat /tmp/train_r5.pid)"
   sleep 20
 fi
+# Stop the snapshot-commit daemon too: its CPU export + pathspec commits
+# are harmless but could race the winddown's own export/commits.
+if [ -f /tmp/snapshot_commit_r5.pid ] \
+   && kill -0 "$(cat /tmp/snapshot_commit_r5.pid)" 2>/dev/null; then
+  kill "$(cat /tmp/snapshot_commit_r5.pid)" 2>/dev/null || true
+fi
 
 CKPT=${CKPT:-checkpoints/demo_r5}
 OUT=${OUT:-weights/waveverify_demo_r5.npz}
