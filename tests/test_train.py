@@ -101,6 +101,49 @@ def test_forward_train_shapes(setup):
     )
 
 
+def test_forward_train_lowband_channel(setup):
+    """lowband_cutoff > 0 adds the lowpassed clean decode channel; the
+    logits differ from the attacked-path logits (it reads a different,
+    band-limited signal)."""
+    cfg, models, state, audio, msg, idx = setup
+    out = jax.jit(
+        lambda p, a, m, i, k: forward_train(
+            models, p, k, a, m, i, SMALL_BANK, lowband_cutoff=2000.0
+        )
+    )(state.wm_params, audio, msg, idx, jax.random.PRNGKey(1))
+    assert out["detector_logits_lowband"].shape == (B, T, 16)
+    assert "detector_logits_clean" not in out  # clean_detector stays off
+    assert not np.allclose(np.asarray(out["detector_logits_lowband"]),
+                           np.asarray(out["detector_logits"]))
+
+
+@pytest.mark.slow
+def test_train_step_lowband_loss(setup):
+    """lambda_dec_lowband > 0 logs a finite dec/loss_lowband and changes the
+    watermarking gradient (the term is wired into the total)."""
+    import dataclasses
+
+    cfg, models, state, audio, msg, idx = setup
+    cfg_lb = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, lambda_dec_lowband=5.0)
+    )
+    step_base = jax.jit(make_train_step(models, cfg, SMALL_BANK),
+                       donate_argnums=())
+    step_lb = jax.jit(make_train_step(models, cfg_lb, SMALL_BANK),
+                     donate_argnums=())
+    key = jax.random.PRNGKey(3)
+    _, m_base = step_base(state, audio, msg, idx, key)
+    s_lb, m_lb = step_lb(state, audio, msg, idx, key)
+    assert "dec/loss_lowband" not in m_base
+    lb = float(np.asarray(m_lb["dec/loss_lowband"]))
+    assert np.isfinite(lb) and lb > 0
+    # the extra term steers the detector update away from the base step's
+    d_base = jax.tree_util.tree_leaves(
+        step_base(state, audio, msg, idx, key)[0].wm_params["detector"])[0]
+    d_lb = jax.tree_util.tree_leaves(s_lb.wm_params["detector"])[0]
+    assert not np.allclose(np.asarray(d_base), np.asarray(d_lb))
+
+
 @pytest.mark.slow
 def test_forward_audio_sample(setup):
     cfg, models, state, audio, msg, idx = setup

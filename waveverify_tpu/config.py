@@ -336,6 +336,16 @@ class LossConfig:
     # this term pushes the per-bit decision directly (losses.py:
     # decoding_loss_bits).
     lambda_dec_bits: float = 0.0
+    # Low-band decode loss (contingency named by VERDICT r4 task 3 /
+    # ROADMAP priority 3): decode a LOWPASSED copy of the clean
+    # watermarked audio (cutoff lowband_cutoff_hz) and apply the same
+    # frame + bit BCEs, forcing carrier energy below the cutoff so
+    # lowpass/resample attacks can't strip the code. 0.0 = reference
+    # parity (the reference has no such term; its low-band robustness
+    # comes from the attack distribution alone). Costs one extra
+    # detector forward when enabled.
+    lambda_dec_lowband: float = 0.0
+    lowband_cutoff_hz: float = 2000.0
 
 
 @dataclass(frozen=True)
@@ -498,6 +508,7 @@ def load_config(path: Union[str, Path, None] = None,
         "dec/loss": "lambda_dec",
         "dec/loss_clean": "lambda_dec_clean",
         "dec/loss_bits": "lambda_dec_bits",
+        "dec/loss_lowband": "lambda_dec_lowband",
     }
     for k, v in (lambdas or {}).items():
         if k in lam_map:
@@ -539,6 +550,8 @@ def load_config(path: Union[str, Path, None] = None,
         loss_kwargs["warmup_nbits_start"] = int(warm["nbits_start"])
     if "nbits_gate" in warm:
         loss_kwargs["warmup_nbits_gate"] = float(warm["nbits_gate"])
+    if "lowband_cutoff_hz" in raw:
+        loss_kwargs["lowband_cutoff_hz"] = float(raw["lowband_cutoff_hz"])
     loss = LossConfig(**loss_kwargs)
 
     adamw = _extract_section(raw, "AdamW")

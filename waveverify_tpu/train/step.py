@@ -115,6 +115,8 @@ def make_train_step(
                 clean_detector=loss_cfg.lambda_dec_clean > 0,
                 jitter_hop=(cfg.generator.hop_length
                             if cfg.sub_hop_jitter else 0),
+                lowband_cutoff=(loss_cfg.lowband_cutoff_hz
+                                if loss_cfg.lambda_dec_lowband > 0 else 0.0),
             )
 
         outs, fwd_vjp = jax.vjp(fwd, state.wm_params)
@@ -247,6 +249,21 @@ def make_train_step(
                     )
                 logs["dec/loss_bits"] = bits
                 total = total + loss_cfg.lambda_dec_bits * bits
+            if loss_cfg.lambda_dec_lowband > 0:
+                # low-band decode channel: clean-path targets (message
+                # everywhere) read through an ideal FIR lowpass — both the
+                # per-frame BCE and the per-bit decision BCE, mirroring the
+                # clean-path pair above
+                lb = decoding_loss(
+                    fwd_outs["detector_logits_lowband"],
+                    jnp.ones_like(fwd_outs["mask"]), msg,
+                    bit_mask=bit_mask,
+                ) + decoding_loss_bits(
+                    fwd_outs["detector_logits_lowband"], None, msg,
+                    bit_mask=bit_mask,
+                )
+                logs["dec/loss_lowband"] = lb
+                total = total + loss_cfg.lambda_dec_lowband * lb
             logs["loss"] = total
             return total, logs
 

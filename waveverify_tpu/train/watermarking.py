@@ -89,6 +89,7 @@ def forward_train(
     remat: bool = True,
     clean_detector: bool = False,
     jitter_hop: int = 0,
+    lowband_cutoff: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Training-phase forward (reference model/watermarking.py:340-421).
 
@@ -162,25 +163,7 @@ def forward_train(
     detector_logits = apply_det(wm_params["detector"], fx_audio)
     locator_logits = apply_loc(wm_params["locator"], fx_audio)
 
-    if clean_detector:
-        # un-augmented, un-attacked read path (LossConfig.lambda_dec_clean):
-        # watermark present everywhere, so the loss target is the message
-        # broadcast over all frames (a roll changes no target; it only
-        # removes the hop-phase shortcut)
-        clean_in = (_sub_hop_roll(k_jit_clean, watermarked)
-                    if jitter_hop > 0 else watermarked)
-        clean_logits = apply_det(wm_params["detector"], clean_in)
-        return {
-            "residual": residual,
-            "watermarked": watermarked,
-            "mask": mask,
-            "detector_logits": detector_logits,
-            "detector_logits_clean": clean_logits,
-            "locator_logits": locator_logits,
-            "updated_original": updated_original,
-        }
-
-    return {
+    out = {
         "residual": residual,
         "watermarked": watermarked,
         "mask": mask,
@@ -188,6 +171,29 @@ def forward_train(
         "locator_logits": locator_logits,
         "updated_original": updated_original,
     }
+    if clean_detector or lowband_cutoff > 0:
+        # un-augmented, un-attacked read path (LossConfig.lambda_dec_clean):
+        # watermark present everywhere, so the loss target is the message
+        # broadcast over all frames (a roll changes no target; it only
+        # removes the hop-phase shortcut)
+        clean_in = (_sub_hop_roll(k_jit_clean, watermarked)
+                    if jitter_hop > 0 else watermarked)
+        if clean_detector:
+            out["detector_logits_clean"] = apply_det(wm_params["detector"],
+                                                     clean_in)
+        if lowband_cutoff > 0:
+            # low-band decode channel (LossConfig.lambda_dec_lowband):
+            # force the carrier to survive an ideal lowpass at the cutoff
+            # — same decode target as the clean path, read through the
+            # on-device FIR lowpass the attack catalog uses
+            lb_in, _ = AudioEffects.lowpass_filter(
+                clean_in, None, None, cutoff_freq=lowband_cutoff,
+                sample_rate=sample_rate,
+            )
+            out["detector_logits_lowband"] = apply_det(
+                wm_params["detector"], lb_in
+            )
+    return out
 
 
 def forward_audio_sample(
