@@ -32,7 +32,12 @@ while :; do
   [ "$M" -le "$LAST_MTIME" ] && continue
   # Export on CPU: the checkpoint may momentarily not exist mid-rename
   # (save_checkpoint swaps the dir); a failed export just waits a cycle.
-  if JAX_PLATFORMS=cpu timeout 600 python - "$CKPT" "$SNAP" >> "$LOGF" 2>&1 <<'EOF'
+  if timeout 600 python - "$CKPT" "$SNAP" >> "$LOGF" 2>&1 <<'EOF'
+# force CPU FIRST: this image's sitecustomize registers the axon TPU
+# platform before JAX_PLATFORMS is read (see .claude/skills/verify) — an
+# env-var-only guard would grab the tunnel the trainer is using
+import jax
+jax.config.update("jax_platforms", "cpu")
 import sys
 from waveverify_tpu.api.core import WaveVerify
 from waveverify_tpu.convert import save_weights_npz
