@@ -49,12 +49,19 @@ EOF
   then
     LAST_MTIME=$M
     cp -f "$CKPT/train_log.jsonl" "$SNAPLOG" 2>/dev/null || true
+    # checkpoint meta (ramp/nbits/scheduler state): committed alongside so
+    # a recycled container resumes the CONTROLLERS too (--init-meta), not
+    # just the weights — the step-8249 recycle lost ramp state with the
+    # orbax dir and the round-5 resume had to reconstruct it by hand.
+    SNAPMETA="${SNAP%.npz}_meta.json"
+    cp -f "$CKPT/latest/meta.json" "$SNAPMETA" 2>/dev/null || true
     STEP=$(tail -1 "$SNAPLOG" 2>/dev/null \
            | sed -n 's/.*"step": \([0-9]*\).*/\1/p')
     for _ in 1 2 3 4 5; do
-      git add -- "$SNAP" "$SNAPLOG" >> "$LOGF" 2>&1 || { sleep 11; continue; }
+      git add -- "$SNAP" "$SNAPLOG" "$SNAPMETA" >> "$LOGF" 2>&1 \
+        || { sleep 11; continue; }
       if git commit -q -m "train snapshot @step ${STEP:-?}: in-run npz export" \
-           -- "$SNAP" "$SNAPLOG" >> "$LOGF" 2>&1; then
+           -- "$SNAP" "$SNAPLOG" "$SNAPMETA" >> "$LOGF" 2>&1; then
         echo "[snap] committed step ${STEP:-?} $(date -Is)" >> "$LOGF"
         break
       fi

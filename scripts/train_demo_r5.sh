@@ -40,11 +40,20 @@ CKPT=${CKPT:-checkpoints/demo_r5}
 STEPS=${STEPS:-100000}
 RESUME=${RESUME:-}
 EXTRA=${EXTRA:-}
+# After a container recycle the orbax dir is gone but the in-run snapshot
+# commits survive: INIT_WEIGHTS/INIT_META point the warm start at the
+# committed npz + controller meta so the run continues at its last
+# snapshot instead of replaying the curriculum from the r4 weights.
+INIT_WEIGHTS=${INIT_WEIGHTS:-weights/waveverify_demo_r4.npz}
+INIT_META=${INIT_META:-}
+META_FLAG=""
+[ -n "$INIT_META" ] && META_FLAG="--init-meta $INIT_META"
 
 exec python -m waveverify_tpu.train \
   --ckpt-dir "$CKPT" \
   --log-file "$CKPT/train_log.jsonl" \
-  --init-weights weights/waveverify_demo_r4.npz \
+  --init-weights "$INIT_WEIGHTS" \
+  $META_FLAG \
   --batch-size 16 \
   --no-remat --pallas off \
   --max-steps "$STEPS" \

@@ -607,6 +607,71 @@ def test_init_weights_warm_start(tmp_path):
 
 
 @pytest.mark.slow
+def test_init_meta_restores_controllers(tmp_path):
+    """--init-meta alongside --init-weights restores the step counter (and
+    controller state) from a committed meta.json, so a warm start after a
+    container recycle continues where the lost orbax checkpoint left off
+    instead of replaying the gate curriculum from step 0."""
+    import dataclasses
+    import json
+
+    from waveverify_tpu.convert import save_weights_npz
+    from waveverify_tpu.train.loop import TrainerConfig, train
+
+    cfg = dataclasses.replace(
+        tiny_config(2), num_iters=0, train_duration=0.2, val_duration=0.2,
+        val_batch_size=2,
+        loss=dataclasses.replace(tiny_config(2).loss, warmup_steps=100,
+                                 warmup_init_scale=0.01, warmup_ber_gate=0.1,
+                                 warmup_fx_gate=0.12, warmup_nbits_start=4))
+    models = WatermarkModels.from_config(cfg)
+    donor = create_train_state(cfg, jax.random.PRNGKey(42), models,
+                               example_length=T)
+    npz = tmp_path / "w.npz"
+    save_weights_npz(jax.tree_util.tree_map(np.asarray, donor.wm_params), npz,
+                     dtype=np.float32)
+    meta = {"step": 321,
+            "ramp_state": {"progress": 0.09, "ema": 0.35, "fx_latched": 1.0,
+                           "msg_latched": 1.0, "msg_refrozen": 0.0,
+                           "bit_acc_ema": [0.5] * 16},
+            "nbits_state": {"n_active": 16, "acc_ema": [0.5] * 16}}
+    mf = tmp_path / "meta.json"
+    mf.write_text(json.dumps(meta))
+
+    trainer = TrainerConfig(
+        ckpt_dir=str(tmp_path / "ckpt"), log_file=None, dump_samples=False,
+        num_devices=1, init_weights=str(npz), init_meta=str(mf),
+    )
+    state = train(cfg, trainer, max_steps=0)
+    assert int(np.asarray(state.step)) == 321
+
+
+def test_ramp_and_nbits_state_roundtrip():
+    """BerGatedRamp / NbitsCurriculum state dicts round-trip exactly — the
+    contract --init-meta and checkpoint resume both rely on."""
+    from waveverify_tpu.train.loop import BerGatedRamp, NbitsCurriculum
+
+    r = BerGatedRamp(1000, 0.01, 0.1, fx_gate=0.12, msg_freeze_gate=0.3,
+                     msg_refreeze=True, nbits=16)
+    r.load_state_dict({"progress": 0.093, "ema": 0.349, "fx_latched": 1.0,
+                       "msg_latched": 1.0, "msg_refrozen": 0.0,
+                       "bit_acc_ema": [0.4] * 16})
+    assert r.attacks_on() and r.msg_on()
+    assert abs(r.scale() - 0.01 ** (1 - 0.093)) < 1e-12
+    r2 = BerGatedRamp(1000, 0.01, 0.1, fx_gate=0.12, msg_freeze_gate=0.3,
+                      msg_refreeze=True, nbits=16)
+    r2.load_state_dict(r.state_dict())
+    assert r2.state_dict() == r.state_dict()
+
+    c = NbitsCurriculum(16, 4, 0.02)
+    c.load_state_dict({"n_active": 16, "acc_ema": [0.6] * 16})
+    assert c.n_active == 16 and c.mask().sum() == 16
+    c2 = NbitsCurriculum(16, 4, 0.02)
+    c2.load_state_dict(c.state_dict())
+    assert c2.state_dict() == c.state_dict()
+
+
+@pytest.mark.slow
 def test_reinit_msg_path_gating(tmp_path):
     """--reinit-msg-path grafts a fresh message path over an npz warm start
     on EVERY relaunch without a checkpoint (a crash before the first save

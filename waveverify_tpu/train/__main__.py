@@ -73,6 +73,11 @@ def main() -> None:
                     help="warm-start generator/detector/locator params from "
                     "a save_weights_npz file (used when --resume finds no "
                     "checkpoint; optimizer state starts fresh)")
+    ap.add_argument("--init-meta", default=None, metavar="JSON",
+                    help="checkpoint meta.json applied with --init-weights: "
+                    "restores the step counter and ramp/nbits/effect-"
+                    "scheduler controller state so a warm start continues "
+                    "where a lost orbax checkpoint left off")
     ap.add_argument("--reinit-msg-path", action="store_true",
                     help="after resume/warm-start, re-initialize the "
                     "generator's message-embedding MLP (msg_in/msg_hidden_*) "
@@ -185,6 +190,7 @@ def main() -> None:
         conv_precision=args.conv_precision,
         effect_dispatch=args.effect_dispatch,
         init_weights=args.init_weights,
+        init_meta=args.init_meta,
         reinit_msg_path=args.reinit_msg_path,
         split_disc_step=args.split_disc,
     )

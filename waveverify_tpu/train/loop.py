@@ -400,6 +400,14 @@ class TrainerConfig:
     # boundary wipes the (gitignored) orbax dirs. Optimizer state, the
     # discriminator, and the step counter start fresh.
     init_weights: Optional[str] = None
+    # Checkpoint meta.json (or a hand-written subset) applied alongside
+    # --init-weights: restores step counter, ramp/nbits/effect-scheduler
+    # state so a warm start after the round boundary (or a recycled
+    # container) continues the controllers where the lost orbax checkpoint
+    # left them instead of replaying the whole gate curriculum. Ignored
+    # when an orbax resume is available (that path restores the same state
+    # from the checkpoint's own meta).
+    init_meta: Optional[str] = None
     # After resume/warm-start, replace the generator's message-embedding MLP
     # (msg_in/msg_hidden_*) with fresh init. Used when continuing a
     # checkpoint whose message channels collapsed under weight decay (see
@@ -569,6 +577,22 @@ def train(cfg: TrainConfig, trainer: TrainerConfig = TrainerConfig(),
             state.wm_params, loaded,
         ))
         logger.info("warm-started wm_params from %s", trainer.init_weights)
+        if trainer.init_meta:
+            meta = json.loads(Path(trainer.init_meta).read_text())
+            start_step = int(meta.get("step", 0))
+            state = state.replace(
+                step=jnp.asarray(start_step, state.step.dtype))
+            if meta.get("scheduler_state"):
+                scheduler.load_state_dict(meta["scheduler_state"])
+            if ramp is not None and meta.get("ramp_state"):
+                ramp.load_state_dict(meta["ramp_state"])
+            if curr is not None and meta.get("nbits_state"):
+                curr.load_state_dict(meta["nbits_state"])
+            logger.info(
+                "restored controller state from %s (step %d, ramp %s, "
+                "nbits %s)", trainer.init_meta, start_step,
+                ramp.state_dict() if ramp is not None else None,
+                curr.n_active if curr is not None else None)
     # Supervisors relaunch the trainer with identical flags after a crash;
     # re-grafting on every relaunch would wipe msg-path learning. But that
     # learning only survives a relaunch through a checkpoint — so skip the
