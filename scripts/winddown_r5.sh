@@ -66,6 +66,13 @@ timeout 1500 python -m waveverify_tpu.eval \
   --json-out weights/demo_eval_sweep_r5.json \
   || echo "R5 SWEEP FAILED rc=$?"
 
+# Commit the two artifacts that matter most the moment they exist —
+# container recycling mid-winddown cost round 4 its entire results.
+git add -- "$OUT" weights/demo_eval_sweep_r5.json 2>/dev/null \
+  && git commit -q -m "round-5 checkpoint export + f32 robustness sweep" \
+       -- "$OUT" weights/demo_eval_sweep_r5.json \
+  && echo "committed checkpoint + f32 sweep" || true
+
 echo "== bench: bf16 + pallas btc (r3 kernel layout) =="
 timeout 900 env WAVEVERIFY_PALLAS_LAYOUT=btc python bench.py \
   | tee /tmp/bench_bf16_btc.log || echo "BENCH BTC FAILED rc=$?"
@@ -94,17 +101,19 @@ timeout 1200 python -m waveverify_tpu.eval \
   --json-out weights/demo_eval_sweep_r2_corrected.json \
   || echo "R2 RESWEEP FAILED rc=$?"
 
+# commit the remaining sweep/bench artifacts before the long tail phases
+git add -- weights/demo_eval_sweep_r5_bf16act.json \
+  weights/demo_eval_sweep_r5_real.json \
+  weights/demo_eval_sweep_r2_corrected.json 2>/dev/null \
+  && git commit -q -m "round-5 sweeps: bf16-act neutrality, real speech, r2 re-sweep" \
+       -- weights/demo_eval_sweep_r5_bf16act.json \
+          weights/demo_eval_sweep_r5_real.json \
+          weights/demo_eval_sweep_r2_corrected.json \
+  && echo "committed secondary sweeps" || true
+
 echo "== dispatch bench (complete the E table) =="
 timeout 1200 python benchmarks/effect_dispatch_bench.py --iters 10 \
   | tee /tmp/dispatch_bench_tpu.log || echo "DISPATCH BENCH FAILED rc=$?"
-
-echo "== split-disc measured: batch 32 x 1 s with remat =="
-CKPT=checkpoints/probe_split STEPS=25 RESUME= \
-  EXTRA="--split-disc --batch-size 32 --set train_duration=1.0 --set valid_freq=1000000 --no-samples --log-every 5" \
-  timeout 3000 bash -c 'sed -e "s/--no-remat //" scripts/train_demo_r5.sh > scripts/_train_split_probe.sh && bash scripts/_train_split_probe.sh' \
-  > /tmp/train_split_b32.log 2>&1 \
-  && tail -3 checkpoints/probe_split/train_log.jsonl \
-  || { echo "SPLIT B32 RUN FAILED rc=$? (see /tmp/train_split_b32.log)"; tail -5 /tmp/train_split_b32.log; }
 
 echo "== serving profile (bf16, winning layout) =="
 timeout 900 python scripts/profile_serving.py --batch 64 --iters 10 \
@@ -115,5 +124,13 @@ tail -8 /tmp/profile_serving_bf16_r5.log || true
 echo "== dryrun cache warm =="
 timeout 600 python __graft_entry__.py 8 >/tmp/dryrun_final.log 2>&1 \
   && echo "dryrun OK" || echo "DRYRUN FAILED rc=$?"
+
+echo "== split-disc measured: batch 32 x 1 s with remat (long tail, last) =="
+CKPT=checkpoints/probe_split STEPS=25 RESUME= \
+  EXTRA="--split-disc --batch-size 32 --set train_duration=1.0 --set valid_freq=1000000 --no-samples --log-every 5" \
+  timeout 3000 bash -c 'sed -e "s/--no-remat //" scripts/train_demo_r5.sh > scripts/_train_split_probe.sh && bash scripts/_train_split_probe.sh' \
+  > /tmp/train_split_b32.log 2>&1 \
+  && tail -3 checkpoints/probe_split/train_log.jsonl \
+  || { echo "SPLIT B32 RUN FAILED rc=$? (see /tmp/train_split_b32.log)"; tail -5 /tmp/train_split_b32.log; }
 
 echo "== winddown done =="
