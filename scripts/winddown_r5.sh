@@ -57,9 +57,6 @@ p = save_weights_npz(wv.params, "${OUT}", config=wv.config)
 print("wrote", p)
 EOF
 
-echo "== bench: bf16 + pallas tbc (new default) =="
-timeout 900 python bench.py | tee /tmp/bench_bf16_tbc.log || echo "BENCH TBC FAILED rc=$?"
-
 echo "== r5 sweep (f32) =="
 timeout 1500 python -m waveverify_tpu.eval \
   --checkpoint "$OUT" --batch 16 --duration 5.0 \
@@ -72,14 +69,6 @@ git add -- "$OUT" weights/demo_eval_sweep_r5.json 2>/dev/null \
   && git commit -q -m "round-5 checkpoint export + f32 robustness sweep" \
        -- "$OUT" weights/demo_eval_sweep_r5.json \
   && echo "committed checkpoint + f32 sweep" || true
-
-echo "== bench: bf16 + pallas btc (r3 kernel layout) =="
-timeout 900 env WAVEVERIFY_PALLAS_LAYOUT=btc python bench.py \
-  | tee /tmp/bench_bf16_btc.log || echo "BENCH BTC FAILED rc=$?"
-
-echo "== bench: f32 comparison =="
-timeout 900 python bench.py --dtype float32 | tee /tmp/bench_f32.log \
-  || echo "BENCH F32 FAILED rc=$?"
 
 echo "== r5 sweep (bf16 activations — serve-dtype study) =="
 timeout 1200 python -m waveverify_tpu.eval \
@@ -110,6 +99,17 @@ git add -- weights/demo_eval_sweep_r5_bf16act.json \
           weights/demo_eval_sweep_r5_real.json \
           weights/demo_eval_sweep_r2_corrected.json \
   && echo "committed secondary sweeps" || true
+
+echo "== bench: bf16 + pallas tbc (shipped default; driver re-runs this) =="
+timeout 900 python bench.py | tee /tmp/bench_bf16_tbc.log || echo "BENCH TBC FAILED rc=$?"
+
+echo "== bench: bf16 + pallas btc (r3 kernel layout) =="
+timeout 900 env WAVEVERIFY_PALLAS_LAYOUT=btc python bench.py \
+  | tee /tmp/bench_bf16_btc.log || echo "BENCH BTC FAILED rc=$?"
+
+echo "== bench: f32 comparison =="
+timeout 900 python bench.py --dtype float32 | tee /tmp/bench_f32.log \
+  || echo "BENCH F32 FAILED rc=$?"
 
 echo "== dispatch bench (complete the E table) =="
 timeout 1200 python benchmarks/effect_dispatch_bench.py --iters 10 \
