@@ -44,6 +44,14 @@ EXTRA=${EXTRA:-}
 # commits survive: INIT_WEIGHTS/INIT_META point the warm start at the
 # committed npz + controller meta so the run continues at its last
 # snapshot instead of replaying the curriculum from the r4 weights.
+# When the snapshot pair exists it is the default (a recycled container's
+# fresh checkout has it from the in-run commits); --resume still wins
+# whenever an orbax checkpoint survives.
+if [ -z "${INIT_WEIGHTS:-}" ] && [ -f weights/snapshots/demo_r5_latest.npz ] \
+   && [ -f weights/snapshots/demo_r5_latest_meta.json ]; then
+  INIT_WEIGHTS=weights/snapshots/demo_r5_latest.npz
+  INIT_META=${INIT_META:-weights/snapshots/demo_r5_latest_meta.json}
+fi
 INIT_WEIGHTS=${INIT_WEIGHTS:-weights/waveverify_demo_r4.npz}
 INIT_META=${INIT_META:-}
 META_FLAG=""
